@@ -1,0 +1,9 @@
+from .base import InterpolationBase, register_control
+from .linear import LinearInterpolation, linear_interpolation_coeffs
+from .cubic import (
+    CubicSpline,
+    NaturalCubicSpline,
+    natural_cubic_coeffs,
+    natural_cubic_spline_coeffs,
+)
+from .hermite import hermite_cubic_coefficients_with_backward_differences

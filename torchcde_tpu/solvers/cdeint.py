@@ -1,0 +1,256 @@
+"""cdeint: the solver front-end.
+
+API parity with /root/reference/torchcde/solver.py:144-245, natively on
+JAX/XLA instead of delegating to torchdiffeq/torchsde:
+
+    cdeint(X, func, z0, t, adjoint=True, backend="native", **kwargs)
+
+solves z_t = z_{t0} + int_{t0}^t f(s, z_s) dX_s and returns z at each t[i]
+with shape (..., len(t), hidden_channels) (time second-to-last, exactly as the
+reference's output permute at solver.py:234-243).
+
+Differences from the reference, by design:
+* ``backend="torchdiffeq"`` / ``"torchsde"`` are accepted as compatibility
+  aliases — both route to the native steppers (``dt`` maps to ``step_size``).
+* ``adjoint_params`` is accepted but unnecessary: the adjoint pass
+  closure-converts the vector field, so gradients flow to every array the
+  field closes over (func parameters, interpolation coefficients, knot times)
+  automatically — the contract tested by reference test/test_tricks.py:21-49.
+* Tolerance defaults match the reference: atol=1e-6, rtol=1e-4, with adjoint
+  tolerances mirroring (solver.py:195-203).
+"""
+
+import warnings
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.misc import is_concrete
+from .adjoint import odeint_adjoint
+from .integrate import SolverConfig, odeint
+from .terms import make_cde_rhs
+
+_FIXED_METHODS = ("euler", "midpoint", "heun", "rk4", "reversible_heun")
+
+
+def _shape(x):
+    return tuple(x.shape)
+
+
+def _check_compatability_per_tensor_base(control_gradient, z0):
+    if _shape(control_gradient)[:-1] != _shape(z0)[:-1]:
+        raise ValueError(
+            "X.derivative did not return a tensor with the same number of batch dimensions as "
+            "z0. X.derivative returned shape {} (meaning {} batch dimensions), whilst z0 has "
+            "shape {} (meaning {} batch dimensions).".format(
+                _shape(control_gradient),
+                _shape(control_gradient)[:-1],
+                _shape(z0),
+                _shape(z0)[:-1],
+            )
+        )
+
+
+def _check_compatability_per_tensor_forward(control_gradient, system, z0):
+    _check_compatability_per_tensor_base(control_gradient, z0)
+    if _shape(system)[:-2] != _shape(z0)[:-1]:
+        raise ValueError(
+            "func did not return a tensor with the same number of batch dimensions as z0. func "
+            "returned shape {} (meaning {} batch dimensions), whilst z0 has shape {} (meaning {}"
+            " batch dimensions).".format(
+                _shape(system), _shape(system)[:-2], _shape(z0), _shape(z0)[:-1]
+            )
+        )
+    if system.shape[-2] != z0.shape[-1]:
+        raise ValueError(
+            "func did not return a tensor with the same number of hidden channels as z0. func "
+            "returned shape {} (meaning {} channels), whilst z0 has shape {} (meaning {} "
+            "channels).".format(_shape(system), system.shape[-2], _shape(z0), z0.shape[-1])
+        )
+    if system.shape[-1] != control_gradient.shape[-1]:
+        raise ValueError(
+            "func did not return a tensor with the same number of input channels as X.derivative "
+            "returned. func returned shape {} (meaning {} channels), whilst X.derivative "
+            "returned shape {} (meaning {} channels).".format(
+                _shape(system),
+                system.shape[-1],
+                _shape(control_gradient),
+                control_gradient.shape[-1],
+            )
+        )
+
+
+def _check_compatability_per_tensor_prod(control_gradient, vector_field, z0):
+    _check_compatability_per_tensor_base(control_gradient, z0)
+    if _shape(vector_field) != _shape(z0):
+        raise ValueError(
+            "func.prod did not return a tensor with the same shape as z0. func.prod returned "
+            "shape {} whilst z0 has shape {}.".format(_shape(vector_field), _shape(z0))
+        )
+
+
+def _is_array(x):
+    return isinstance(x, (jnp.ndarray, np.ndarray, jax.core.Tracer)) or hasattr(x, "shape")
+
+
+def _check_compatability(X, func, z0, t):
+    """Mirror of solver.py:44-100: probe the control and field once, validate
+    shapes eagerly at trace time (shape information is static under jit)."""
+    if not hasattr(X, "derivative"):
+        raise ValueError("X must have a 'derivative' method.")
+    control_gradient = X.derivative(jax.lax.stop_gradient(t[0]))
+    if hasattr(func, "prod"):
+        is_prod = True
+        vector_field = func.prod(t[0], z0, control_gradient)
+    else:
+        is_prod = False
+        system = func(t[0], z0)
+
+    if _is_array(z0) and not isinstance(z0, (tuple, list)):
+        is_tensor = True
+        if not _is_array(control_gradient) or isinstance(control_gradient, (tuple, list)):
+            raise ValueError("z0 is a tensor and so X.derivative must return a tensor as well.")
+        if is_prod:
+            if not _is_array(vector_field) or isinstance(vector_field, (tuple, list)):
+                raise ValueError("z0 is a tensor and so func.prod must return a tensor as well.")
+            _check_compatability_per_tensor_prod(control_gradient, vector_field, z0)
+        else:
+            if not _is_array(system) or isinstance(system, (tuple, list)):
+                raise ValueError("z0 is a tensor and so func must return a tensor as well.")
+            _check_compatability_per_tensor_forward(control_gradient, system, z0)
+    elif isinstance(z0, (tuple, list)):
+        is_tensor = False
+        if not isinstance(control_gradient, (tuple, list)):
+            raise ValueError("z0 is a tuple/list and so X.derivative must return a tuple/list as well.")
+        if len(z0) != len(control_gradient):
+            raise ValueError("z0 and X.derivative(t) must be tuples of the same length.")
+        if is_prod:
+            if not isinstance(vector_field, (tuple, list)):
+                raise ValueError("z0 is a tuple/list and so func.prod must return a tuple/list as well.")
+            if len(z0) != len(vector_field):
+                raise ValueError("z0 and func.prod(t, z, dXdt) must be tuples of the same length.")
+            for cg, vf, z0_ in zip(control_gradient, vector_field, z0):
+                _check_compatability_per_tensor_prod(cg, vf, z0_)
+        else:
+            if not isinstance(system, (tuple, list)):
+                raise ValueError("z0 is a tuple/list and so func must return a tuple/list as well.")
+            if len(z0) != len(system):
+                raise ValueError("z0 and func(t, z) must be tuples of the same length.")
+            for cg, sys_, z0_ in zip(control_gradient, system, z0):
+                _check_compatability_per_tensor_forward(cg, sys_, z0_)
+    else:
+        raise ValueError("z0 must either a tensor or a tuple/list of tensors.")
+
+    return is_tensor, is_prod
+
+
+def _as_tuple_state(z0):
+    if isinstance(z0, list):
+        return tuple(z0)
+    return z0
+
+
+def cdeint(X, func, z0, t, adjoint=True, backend="native", **kwargs):
+    r"""Solves a system of controlled differential equations.
+
+    Solves z_t = z_{t_0} + \int_{t_0}^t f(s, z_s) dX_s.
+
+    Arguments (mirroring reference solver.py:144-192):
+        X: a control with a ``derivative(t) -> (..., input_channels)`` method,
+            e.g. ``CubicSpline`` / ``LinearInterpolation`` / ``TupleControl``.
+        func: callable f(t, z) -> (..., hidden_channels, input_channels), or an
+            object with a ``prod(t, z, dXdt) -> (..., hidden_channels)`` method
+            for a fused matrix-vector product.
+        z0: initial state (..., hidden_channels); may be a tuple of arrays.
+        t: 1-D array of output times (strictly increasing).
+        adjoint: whether to backpropagate via the memory-efficient adjoint
+            (continuous backsolve through ``custom_vjp``) rather than
+            differentiating through the solver steps.
+        backend: "native" (or the compatibility aliases "torchdiffeq" /
+            "torchsde", which route to the same native steppers).
+        **kwargs: rtol, atol, method, options={'step_size':…, 'jump_t':…},
+            step_size, max_steps, dt (alias for step_size),
+            adjoint_rtol/atol/method/options/params.
+
+    Returns:
+        z at each t[i]: shape (..., len(t), hidden_channels) per state leaf.
+    """
+    kwargs = dict(kwargs)
+    atol = kwargs.pop("atol", 1e-6)
+    rtol = kwargs.pop("rtol", 1e-4)
+
+    options = dict(kwargs.pop("options", {}) or {})
+    step_size = kwargs.pop("step_size", None)
+    if "step_size" in options:
+        step_size = options.pop("step_size")
+    dt = kwargs.pop("dt", None)
+    if dt is not None and step_size is None:
+        step_size = dt
+    jump_t = options.pop("jump_t", None)
+    if options:
+        warnings.warn(f"Ignoring unsupported solver options: {sorted(options)}")
+
+    if backend == "torchsde":
+        method = kwargs.pop("method", "midpoint")
+    elif backend in ("native", "torchdiffeq"):
+        method = kwargs.pop("method", None) or "dopri5"
+    else:
+        raise ValueError(f"Unrecognised backend={backend}")
+
+    max_steps = kwargs.pop("max_steps", None)
+
+    adjoint_rtol = kwargs.pop("adjoint_rtol", rtol)
+    adjoint_atol = kwargs.pop("adjoint_atol", atol)
+    adjoint_method = kwargs.pop("adjoint_method", method)
+    adjoint_options = dict(kwargs.pop("adjoint_options", {}) or {})
+    adjoint_step_size = adjoint_options.pop("step_size", step_size)
+    kwargs.pop("adjoint_params", None)  # subsumed by closure conversion
+    adjoint_max_steps = kwargs.pop("adjoint_max_steps", max_steps)
+    if kwargs:
+        warnings.warn(f"Ignoring unsupported cdeint kwargs: {sorted(kwargs)}")
+
+    t = jnp.asarray(t)
+    if step_size is not None and is_concrete(step_size):
+        step_size = float(step_size)
+
+    z0 = _as_tuple_state(z0)
+    _check_compatability(X, func, z0, t)
+
+    cfg = SolverConfig(
+        method=method, rtol=rtol, atol=atol, step_size=step_size, max_steps=max_steps
+    )
+
+    rhs = make_cde_rhs(func, X)
+
+    if adjoint:
+        # The adjoint integrates over traced sub-intervals, so a fixed-step
+        # adjoint needs an explicit step bound; derive it from t when concrete.
+        if adjoint_max_steps is None and adjoint_method in _FIXED_METHODS:
+            if adjoint_step_size is not None and is_concrete(t):
+                tv = np.asarray(t, dtype=np.float64)
+                adjoint_max_steps = max(
+                    1, int(np.max(np.ceil(np.diff(tv) / float(adjoint_step_size) - 1e-9)))
+                )
+        adjoint_cfg = SolverConfig(
+            method=adjoint_method,
+            rtol=adjoint_rtol,
+            atol=adjoint_atol,
+            step_size=adjoint_step_size,
+            max_steps=adjoint_max_steps,
+        )
+        rhs_conv, consts = jax.closure_convert(rhs, t[0], z0)
+        out = odeint_adjoint(
+            lambda s, z, c: rhs_conv(s, z, *c),
+            list(consts),
+            z0,
+            t,
+            cfg,
+            adjoint_cfg,
+            jump_t,
+        )
+    else:
+        out = odeint(rhs, z0, t, cfg, jump_t)
+
+    # Move time from leading to second-to-last (solver.py:234-243).
+    return jax.tree_util.tree_map(lambda o: jnp.moveaxis(o, 0, -2), out)

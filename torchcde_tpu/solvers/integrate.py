@@ -1,0 +1,249 @@
+"""The ODE integration driver.
+
+Native replacement for the torchdiffeq/torchsde delegation at
+/root/reference/torchcde/solver.py:224-232.  Integration proceeds output
+interval by output interval (an outer ``lax.scan`` over (ts[i], ts[i+1]));
+within an interval a fixed-step method takes exact clamped steps and an
+adaptive method (dopri5) runs a PI(-ish) step controller inside a bounded,
+reverse-differentiable while loop.  Every output time is hit exactly, so no
+dense-output interpolant is needed; solutions carry the time axis leading and
+``cdeint`` moves it to second-to-last (reference solver.py:234-243).
+
+Step counts: when ``ts`` / ``step_size`` are concrete (the overwhelmingly
+common case — with default grids the control's times are constants even under
+jit, see utils/misc.validate_input_path), the exact number of fixed steps is
+computed statically and no masked iterations exist at all.  Otherwise
+``max_steps`` bounds the loop and exhausted iterations take the cheap branch
+of a scalar ``lax.cond``.
+"""
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.misc import is_concrete
+from .loops import bounded_while_loop
+from .runge_kutta import STEPPERS, tree_select
+
+_tree_map = jax.tree_util.tree_map
+
+_FIXED_DEFAULT_MAX_STEPS = 65536
+_ADAPTIVE_DEFAULT_MAX_STEPS = 4096
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Static (hashable) solver configuration.
+
+    The explicit, typed version of the reference's ``**kwargs`` passthrough
+    config surface (solver.py:175-176,195-203; README.md:194-200).
+    """
+
+    method: str = "dopri5"
+    rtol: float = 1e-4
+    atol: float = 1e-6
+    step_size: Optional[float] = None
+    max_steps: Optional[int] = None
+    safety: float = 0.9
+    ifactor: float = 10.0
+    dfactor: float = 0.2
+
+    def stepper(self):
+        if self.method not in STEPPERS:
+            raise ValueError(
+                f"Unrecognised method={self.method!r}; expected one of {sorted(STEPPERS)}"
+            )
+        return STEPPERS[self.method]
+
+
+def _rms_norm(tree):
+    leaves = jax.tree_util.tree_leaves(tree)
+    total = sum(jnp.sum(jnp.square(leaf)) for leaf in leaves)
+    count = sum(leaf.size for leaf in leaves)
+    return jnp.sqrt(total / count)
+
+
+def _error_ratio(err, rtol, atol, z0, z1):
+    scaled = _tree_map(
+        lambda e, a, b: e / (atol + rtol * jnp.maximum(jnp.abs(a), jnp.abs(b))), err, z0, z1
+    )
+    return _rms_norm(scaled)
+
+
+def _next_jump(jump_t, t):
+    """Smallest jump time strictly greater than t (inf if none)."""
+    idx = jnp.searchsorted(jump_t, t, side="right")
+    padded = jnp.concatenate([jump_t, jnp.full((1,), jnp.inf, dtype=jump_t.dtype)])
+    return padded[jnp.minimum(idx, jump_t.shape[0])]
+
+
+def select_initial_step(rhs, t0, z0, order, rtol, atol, f0):
+    """Hairer/Wanner initial step heuristic (as used by torchdiffeq)."""
+    scale = _tree_map(lambda z: atol + jnp.abs(z) * rtol, z0)
+    d0 = _rms_norm(_tree_map(jnp.divide, z0, scale))
+    d1 = _rms_norm(_tree_map(jnp.divide, f0, scale))
+    small = (d0 < 1e-5) | (d1 < 1e-5)
+    h0 = jnp.where(small, 1e-6, 0.01 * d0 / jnp.maximum(d1, 1e-30))
+
+    z1 = _tree_map(lambda z, f: z + h0 * f, z0, f0)
+    f1 = rhs(t0 + h0, z1)
+    d2 = _rms_norm(_tree_map(lambda a, b, s: (a - b) / s, f1, f0, scale)) / h0
+
+    dmax = jnp.maximum(d1, d2)
+    h1 = jnp.where(
+        dmax <= 1e-15,
+        jnp.maximum(1e-6, h0 * 1e-3),
+        (0.01 / jnp.maximum(dmax, 1e-30)) ** (1.0 / (order + 1)),
+    )
+    return jnp.minimum(100 * h0, h1)
+
+
+def _optimal_factor(ratio, order, cfg: SolverConfig, accepted):
+    # torchdiffeq-style controller: factor = clip(safety * ratio^(-1/order),
+    # dfactor, ifactor); growth is disabled after a rejection.
+    ratio = jnp.maximum(ratio, 1e-10)
+    factor = cfg.safety * ratio ** (-1.0 / order)
+    factor = jnp.where(jnp.isfinite(factor), factor, cfg.dfactor)
+    upper = jnp.where(accepted, cfg.ifactor, 1.0)
+    return jnp.clip(factor, cfg.dfactor, upper)
+
+
+def _while(cond, body, init, max_steps, differentiable):
+    """Dispatch between the reverse-differentiable bounded loop (direct
+    backprop mode) and a plain ``lax.while_loop`` (inside custom_vjp adjoints,
+    where XLA never differentiates the loop and masked iterations would be
+    pure waste)."""
+    if differentiable:
+        return bounded_while_loop(cond, body, init, max_steps)
+
+    def cond2(carry):
+        count, val = carry
+        return cond(val) & (count < max_steps)
+
+    def body2(carry):
+        count, val = carry
+        return count + 1, body(val)
+
+    return jax.lax.while_loop(cond2, body2, (0, init))[1]
+
+
+def _advance_adaptive(rhs, z0, t0, t1, dt0, state0, cfg, stepper, max_steps, jump_t,
+                      differentiable):
+    """Adaptive stepping from t0 to exactly t1.  Returns (z1, dt_next, state1)."""
+
+    def cond(carry):
+        t, _z, _dt, _state = carry
+        return t < t1
+
+    def body(carry):
+        t, z, dt, state = carry
+        dt = jnp.maximum(dt, 1e-14)
+        dt_clamped = jnp.minimum(dt, t1 - t)
+        if jump_t is not None:
+            # Land exactly on derivative discontinuities (the torchdiffeq
+            # options={'jump_t': ...} capability, reference README.md:240-249).
+            dt_clamped = jnp.minimum(dt_clamped, _next_jump(jump_t, t) - t)
+        z1, err, state1 = stepper.step(rhs, t, z, dt_clamped, state)
+        ratio = _error_ratio(err, cfg.rtol, cfg.atol, z, z1)
+        accept = ratio <= 1.0
+        t_new = jnp.where(accept, t + dt_clamped, t)
+        z_new = tree_select(accept, z1, z)
+        state_new = tree_select(accept, state1, state)
+        dt_new = dt_clamped * _optimal_factor(ratio, stepper.order, cfg, accept)
+        # If the step was only short because it was clamped to the interval
+        # end (or a jump), don't let that shrink the carried proposal.
+        was_clamped = dt_clamped < dt
+        dt_new = jnp.where(accept & was_clamped, jnp.maximum(dt, dt_new), dt_new)
+        return (t_new, z_new, dt_new, state_new)
+
+    t_final, z_final, dt_final, state_final = _while(
+        cond, body, (t0, z0, dt0, state0), max_steps, differentiable
+    )
+    return z_final, dt_final, state_final
+
+
+def _advance_fixed(rhs, z0, t0, t1, step_size, state0, stepper, max_steps, differentiable):
+    """Fixed steps of ``step_size`` (last step clamped) from t0 to exactly t1."""
+
+    def cond(carry):
+        t, _z, _state = carry
+        return t < t1
+
+    def body(carry):
+        t, z, state = carry
+        dt = jnp.minimum(step_size, t1 - t)
+        z1, _err, state1 = stepper.step(rhs, t, z, dt, state)
+        return (t + dt, z1, state1)
+
+    _t, z_final, state_final = _while(
+        cond, body, (t0, z0, state0), max_steps, differentiable
+    )
+    return z_final, state_final
+
+
+def _static_fixed_steps(ts, step_size):
+    """Exact per-interval step bound when everything is concrete, else None."""
+    if step_size is None:
+        return 1
+    if not is_concrete(ts):
+        return None
+    tv = np.asarray(ts, dtype=np.float64)
+    intervals = np.diff(tv)
+    n = int(np.max(np.ceil(intervals / float(step_size) - 1e-9)))
+    return max(n, 1)
+
+
+def odeint(rhs, z0, ts, cfg: SolverConfig, jump_t=None, differentiable=True):
+    """Integrates dz/dt = rhs(t, z) from ts[0], returning z at every ts[i].
+
+    Output pytree leaves have the time axis *leading*: (len(ts), ...).
+    Set ``differentiable=False`` inside custom_vjp adjoints: the step loops
+    become plain while loops with no reverse-AD bookkeeping.
+    """
+    stepper = cfg.stepper()
+    state0 = stepper.init(rhs, ts[0], z0)
+
+    if stepper.adaptive and cfg.step_size is None:
+        f0 = rhs(ts[0], z0)
+        dt0 = select_initial_step(rhs, ts[0], z0, stepper.order, cfg.rtol, cfg.atol, f0)
+        max_steps = cfg.max_steps or _ADAPTIVE_DEFAULT_MAX_STEPS
+
+        def advance(z, t0, t1, dt, state):
+            return _advance_adaptive(
+                rhs, z, t0, t1, dt, state, cfg, stepper, max_steps, jump_t,
+                differentiable,
+            )
+
+    else:
+        # Fixed-step mode; with no step_size, one step per output interval
+        # (torchdiffeq's default grid for fixed solvers is ``t`` itself).
+        n_static = _static_fixed_steps(ts, cfg.step_size)
+        if n_static is None:
+            # Traced `t`: the per-interval step count is data-dependent, so
+            # fall back to a bounded masked loop (exhausted iterations take
+            # the cheap cond branch).
+            n_static = cfg.max_steps or (
+                _ADAPTIVE_DEFAULT_MAX_STEPS if differentiable else _FIXED_DEFAULT_MAX_STEPS
+            )
+        else:
+            n_static = min(n_static, cfg.max_steps or _FIXED_DEFAULT_MAX_STEPS)
+        dt0 = jnp.zeros((), dtype=jnp.result_type(ts.dtype))
+
+        def advance(z, t0, t1, dt, state):
+            step_size = cfg.step_size if cfg.step_size is not None else (t1 - t0)
+            z1, state1 = _advance_fixed(
+                rhs, z, t0, t1, step_size, state, stepper, n_static, differentiable
+            )
+            return z1, dt, state1
+
+    def outer(carry, t_pair):
+        z, dt, state = carry
+        t0, t1 = t_pair
+        z1, dt1, state1 = advance(z, t0, t1, dt, state)
+        return (z1, dt1, state1), z1
+
+    (_, _, _), zs = jax.lax.scan(outer, (z0, dt0, state0), (ts[:-1], ts[1:]))
+    return _tree_map(lambda z0i, zsi: jnp.concatenate([z0i[None], zsi], axis=0), z0, zs)

@@ -1,0 +1,159 @@
+"""Explicit Runge–Kutta steppers over pytree state.
+
+Native replacements for the torchdiffeq solvers consumed at
+/root/reference/torchcde/solver.py:226-227 (euler, midpoint, rk4, dopri5) and
+the torchsde reversible Heun (reference README.md:105).  Steppers are pure
+functions of (rhs, t, z, dt, state); tableaus are NumPy constants so they bake
+into the jitted program instead of being hoisted as device buffers.
+"""
+
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def tree_add(x, y):
+    return jax.tree_util.tree_map(jnp.add, x, y)
+
+
+def tree_sub(x, y):
+    return jax.tree_util.tree_map(jnp.subtract, x, y)
+
+
+def tree_scale(a, x):
+    return jax.tree_util.tree_map(lambda xi: a * xi, x)
+
+
+def tree_axpy(a, x, y):
+    """y + a * x over pytrees; a is a scalar."""
+    return jax.tree_util.tree_map(lambda xi, yi: yi + a * xi, x, y)
+
+
+def tree_select(pred, x, y):
+    return jax.tree_util.tree_map(lambda xi, yi: jnp.where(pred, xi, yi), x, y)
+
+
+def _weighted_sum(coeffs, ks):
+    """sum_i coeffs[i] * ks[i] over pytrees, skipping exact zeros."""
+    total = None
+    for c, k in zip(coeffs, ks):
+        if c == 0.0:
+            continue
+        term = tree_scale(c, k)
+        total = term if total is None else tree_add(total, term)
+    if total is None:
+        total = tree_scale(0.0, ks[0])
+    return total
+
+
+class ButcherTableau(NamedTuple):
+    alpha: tuple  # c_2..c_s
+    beta: tuple  # rows of the (strictly lower triangular) A matrix
+    c_sol: tuple  # b
+    c_error: Optional[tuple]  # b - b_hat, or None for fixed-step methods
+    order: int  # used as the step-controller exponent order
+
+
+EULER = ButcherTableau(alpha=(), beta=(), c_sol=(1.0,), c_error=None, order=1)
+
+MIDPOINT = ButcherTableau(
+    alpha=(0.5,), beta=((0.5,),), c_sol=(0.0, 1.0), c_error=None, order=2
+)
+
+HEUN = ButcherTableau(
+    alpha=(1.0,), beta=((1.0,),), c_sol=(0.5, 0.5), c_error=None, order=2
+)
+
+RK4 = ButcherTableau(
+    alpha=(0.5, 0.5, 1.0),
+    beta=((0.5,), (0.0, 0.5), (0.0, 0.0, 1.0)),
+    c_sol=(1 / 6, 1 / 3, 1 / 3, 1 / 6),
+    c_error=None,
+    order=4,
+)
+
+_DOPRI5_B = (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0)
+_DOPRI5_B4 = (5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200, 187 / 2100, 1 / 40)
+
+DOPRI5 = ButcherTableau(
+    alpha=(1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0),
+    beta=(
+        (1 / 5,),
+        (3 / 40, 9 / 40),
+        (44 / 45, -56 / 15, 32 / 9),
+        (19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729),
+        (9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656),
+        (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84),
+    ),
+    c_sol=_DOPRI5_B,
+    c_error=tuple(b - b4 for b, b4 in zip(_DOPRI5_B, _DOPRI5_B4)),
+    order=5,
+)
+
+
+def rk_step(tableau: ButcherTableau, rhs, t0, z0, dt):
+    """One explicit RK step.  Returns (z1, error_estimate_or_None)."""
+    ks = [rhs(t0, z0)]
+    for alpha_i, beta_i in zip(tableau.alpha, tableau.beta):
+        ti = t0 + alpha_i * dt
+        zi = tree_axpy(dt, _weighted_sum(beta_i, ks), z0)
+        ks.append(rhs(ti, zi))
+    z1 = tree_axpy(dt, _weighted_sum(tableau.c_sol, ks), z0)
+    err = None
+    if tableau.c_error is not None:
+        err = tree_scale(dt, _weighted_sum(tableau.c_error, ks))
+    return z1, err
+
+
+class Stepper(NamedTuple):
+    init: Callable  # (rhs, t0, z0) -> state
+    step: Callable  # (rhs, t, z, dt, state) -> (z1, err_or_None, state1)
+    order: int
+    adaptive: bool
+
+
+def _make_rk_stepper(tableau: ButcherTableau) -> Stepper:
+    def init(rhs, t0, z0):
+        return None
+
+    def step(rhs, t, z, dt, state):
+        z1, err = rk_step(tableau, rhs, t, z, dt)
+        return z1, err, None
+
+    return Stepper(init=init, step=step, order=tableau.order, adaptive=tableau.c_error is not None)
+
+
+def _make_reversible_heun() -> Stepper:
+    """Algebraically reversible Heun (Kidger et al. 2021; the torchsde
+    capability referenced at reference README.md:105).  Carries the companion
+    state (ŷ, f(t, ŷ)); one NFE per step; second order; the update is exactly
+    invertible, enabling O(1)-memory reconstruction of the trajectory in the
+    backward pass.
+    """
+
+    def init(rhs, t0, z0):
+        return (z0, rhs(t0, z0))
+
+    def step(rhs, t, z, dt, state):
+        yhat, fhat = state
+        yhat1 = tree_axpy(dt, fhat, tree_sub(tree_scale(2.0, z), yhat))
+        fhat1 = rhs(t + dt, yhat1)
+        z1 = tree_axpy(0.5 * dt, tree_add(fhat, fhat1), z)
+        # Local error estimate: difference between the Heun solution and the
+        # explicit companion — used only if run adaptively.
+        err = tree_scale(0.5 * dt, tree_sub(fhat1, fhat))
+        return z1, err, (yhat1, fhat1)
+
+    return Stepper(init=init, step=step, order=2, adaptive=False)
+
+
+STEPPERS = {
+    "euler": _make_rk_stepper(EULER),
+    "midpoint": _make_rk_stepper(MIDPOINT),
+    "heun": _make_rk_stepper(HEUN),
+    "rk4": _make_rk_stepper(RK4),
+    "dopri5": _make_rk_stepper(DOPRI5),
+    "reversible_heun": _make_reversible_heun(),
+}
