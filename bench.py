@@ -1,0 +1,179 @@
+"""Benchmark: spiral Neural CDE train step at batch 4096 — TPU vs CPU reference.
+
+The reference (torchcde) publishes no numbers (BASELINE.md), so this harness
+*creates* the baseline: a faithful PyTorch-CPU implementation of the
+reference's hot path — cubic-spline derivative gather + f(t,z)@dX/dt
+contraction inside an rk4 loop, BCE loss, Adam step (the computational
+pattern of /root/reference/example/time_series_classification.py with
+torchdiffeq rk4) — timed against the same workload in torchcde_tpu on the TPU
+chip.  Identical architecture, solver, step size, dtype (f32), batch.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import math
+import sys
+import time
+
+import numpy as np
+
+BATCH = 4096
+LENGTH = 100
+HIDDEN = 8
+WIDTH = 128
+STEP_SIZE = 1.0
+TORCH_STEPS = 2
+TPU_STEPS = 20
+
+
+def spiral_data(batch, length, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.linspace(0.0, 4 * math.pi, length)
+    phase = rng.uniform(0, 2 * math.pi, size=(batch, 1))
+    y = (rng.random(batch) > 0.5).astype(np.float32)
+    direction = np.where(y > 0.5, 1.0, -1.0)[:, None]
+    radius = 0.5 + t / (4 * math.pi)
+    x1 = radius * np.cos(direction * t + phase)
+    x2 = radius * np.sin(direction * t + phase)
+    X = np.stack([np.broadcast_to(t, x1.shape), x1, x2], axis=-1).astype(np.float32)
+    return X, y
+
+
+def hermite_coeffs_numpy(X):
+    """Hermite-with-backward-differences coefficients in NumPy (shared,
+    offline preprocessing — excluded from both timings)."""
+    t = np.arange(X.shape[-2], dtype=X.dtype)
+    derivs = X[..., 1:, :] - X[..., :-1, :]  # unit time spacing
+    x_prev, x_next = X[..., :-1, :], X[..., 1:, :]
+    d_prev = np.concatenate([derivs[..., :1, :], derivs[..., :-1, :]], axis=-2)
+    d_next = derivs
+    a = x_prev
+    b = d_prev
+    two_c = 2 * (3 * (x_next - x_prev - b) - d_next + d_prev)
+    three_d = (d_next - b) - two_c
+    return np.concatenate([a, b, two_c, three_d], axis=-1), t
+
+
+def bench_torch_cpu(coeffs_np, y_np, n_steps):
+    import torch
+
+    torch.manual_seed(0)
+    torch.set_num_threads(torch.get_num_threads())
+    coeffs = torch.from_numpy(coeffs_np)
+    y = torch.from_numpy(y_np)
+    length = coeffs.shape[-2]  # number of intervals
+    C = coeffs.shape[-1] // 4
+    a, b, two_c, three_d = torch.split(coeffs, C, dim=-1)
+    knots = torch.arange(length + 1, dtype=torch.float32)
+
+    initial = torch.nn.Linear(C, HIDDEN)
+    l1 = torch.nn.Linear(HIDDEN, WIDTH)
+    l2 = torch.nn.Linear(WIDTH, HIDDEN * C)
+    readout = torch.nn.Linear(HIDDEN, 1)
+    params = (
+        list(initial.parameters()) + list(l1.parameters())
+        + list(l2.parameters()) + list(readout.parameters())
+    )
+    opt = torch.optim.Adam(params, lr=1e-3)
+    loss_fn = torch.nn.BCEWithLogitsLoss()
+
+    def deriv(t):
+        idx = int(torch.clamp(torch.bucketize(t, knots) - 1, 0, length - 1))
+        frac = (t - knots[idx]).reshape(1, 1)
+        return b[:, idx] + (two_c[:, idx] + three_d[:, idx] * frac) * frac
+
+    def func(z):
+        h = torch.tanh(l2(torch.relu(l1(z))))
+        return h.reshape(-1, HIDDEN, C)
+
+    def rhs(t, z):
+        dX = deriv(t)
+        return (func(z) @ dX.unsqueeze(-1)).squeeze(-1)
+
+    def train_step():
+        opt.zero_grad()
+        x0 = a[:, 0]
+        z = initial(x0)
+        t0, t1 = 0.0, float(length)
+        n = int(math.ceil((t1 - t0) / STEP_SIZE))
+        t = torch.tensor(t0)
+        for _ in range(n):
+            dt = min(STEP_SIZE, t1 - float(t))
+            k1 = rhs(t, z)
+            k2 = rhs(t + dt / 2, z + dt / 2 * k1)
+            k3 = rhs(t + dt / 2, z + dt / 2 * k2)
+            k4 = rhs(t + dt, z + dt * k3)
+            z = z + dt / 6 * (k1 + 2 * k2 + 2 * k3 + k4)
+            t = t + dt
+        logits = readout(z)[:, 0]
+        loss = loss_fn(logits, y)
+        loss.backward()
+        opt.step()
+        return float(loss)
+
+    train_step()  # warmup (allocator, lazy init)
+    start = time.perf_counter()
+    for _ in range(n_steps):
+        train_step()
+    return (time.perf_counter() - start) / n_steps
+
+
+def bench_tpu(coeffs_np, y_np, n_steps):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from torchcde_tpu.models.neural_cde import NeuralCDEConfig, init_neural_cde
+    from torchcde_tpu.models.training import make_train_step
+
+    cfg = NeuralCDEConfig(
+        input_channels=3, hidden_channels=HIDDEN, output_channels=1, width=WIDTH,
+        interpolation="cubic", solver="rk4", adjoint=False, step_size=STEP_SIZE,
+    )
+    coeffs = jnp.asarray(coeffs_np)
+    y = jnp.asarray(y_np)
+    params = init_neural_cde(jax.random.PRNGKey(0), cfg)
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+    step = jax.jit(make_train_step(cfg, optimizer), donate_argnums=(0, 1))
+
+    params, opt_state, loss = step(params, opt_state, coeffs, y)  # compile
+    jax.block_until_ready(loss)
+    loss0 = float(loss)
+    # Per-step blocking: robust against async-dispatch artifacts on remote
+    # backends (pipelined dispatch can otherwise under-report wall time).
+    times = []
+    for _ in range(n_steps):
+        t0 = time.perf_counter()
+        params, opt_state, loss = step(params, opt_state, coeffs, y)
+        jax.block_until_ready(loss)
+        times.append(time.perf_counter() - t0)
+    loss1 = float(loss)
+    assert np.isfinite(loss1) and loss1 != loss0, (loss0, loss1)  # really training
+    return float(np.median(times)), jax.devices()[0].platform
+
+
+def main():
+    X, y = spiral_data(BATCH, LENGTH)
+    coeffs, _t = hermite_coeffs_numpy(X)
+
+    torch_time = bench_torch_cpu(coeffs, y, TORCH_STEPS)
+    tpu_time, platform = bench_tpu(coeffs, y, TPU_STEPS)
+    speedup = torch_time / tpu_time
+
+    print(
+        json.dumps(
+            {
+                "metric": f"spiral neural-CDE train step, batch {BATCH} (rk4, direct bp): "
+                          f"speedup vs torch-CPU reference impl [{platform}]",
+                "value": round(1000 * tpu_time, 3),
+                "unit": "ms/step",
+                "vs_baseline": round(speedup, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -22,3 +22,4 @@ from .utils import TupleControl
 
 __version__ = "0.1.0"
 from .solvers import cdeint, SolverConfig
+from .log_ode import logsig_windows, logsignature_windows

@@ -205,8 +205,13 @@ class CubicSpline(InterpolationBase):
     def __init__(self, coeffs, t=None):
         coeffs = jnp.asarray(coeffs)
         if t is None:
-            t = jnp.linspace(0, coeffs.shape[-2], coeffs.shape[-2] + 1, dtype=coeffs.dtype)
-        t = jnp.asarray(t)
+            # Host NumPy constant: stays concrete under jit, keeping solver
+            # step counts static (see utils.misc.validate_input_path).
+            t = np.linspace(
+                0, coeffs.shape[-2], coeffs.shape[-2] + 1, dtype=np.dtype(coeffs.dtype)
+            )
+        elif not isinstance(t, np.ndarray):
+            t = jnp.asarray(t)
 
         channels = coeffs.shape[-1] // 4
         if channels * 4 != coeffs.shape[-1]:
@@ -223,7 +228,9 @@ class CubicSpline(InterpolationBase):
 
     @property
     def interval(self):
-        return jnp.stack([self._t[0], self._t[-1]])
+        from ..utils.misc import stack_endpoints
+
+        return stack_endpoints(self._t)
 
     def _interpret_t(self, t):
         t = jnp.asarray(t, dtype=self._b.dtype)

@@ -140,8 +140,13 @@ class LinearInterpolation(InterpolationBase):
     def __init__(self, coeffs, t=None):
         coeffs = jnp.asarray(coeffs)
         if t is None:
-            t = jnp.linspace(0, coeffs.shape[-2] - 1, coeffs.shape[-2], dtype=coeffs.dtype)
-        t = jnp.asarray(t)
+            # Host NumPy constant: stays concrete under jit, keeping solver
+            # step counts static (see utils.misc.validate_input_path).
+            t = np.linspace(
+                0, coeffs.shape[-2] - 1, coeffs.shape[-2], dtype=np.dtype(coeffs.dtype)
+            )
+        elif not isinstance(t, np.ndarray):
+            t = jnp.asarray(t)
         self._t = t
         self._coeffs = coeffs
         self._derivs = (coeffs[..., 1:, :] - coeffs[..., :-1, :]) / (t[1:] - t[:-1])[..., None]
@@ -152,7 +157,9 @@ class LinearInterpolation(InterpolationBase):
 
     @property
     def interval(self):
-        return jnp.stack([self._t[0], self._t[-1]])
+        from ..utils.misc import stack_endpoints
+
+        return stack_endpoints(self._t)
 
     def _interpret_t(self, t):
         t = jnp.asarray(t, dtype=self._derivs.dtype)

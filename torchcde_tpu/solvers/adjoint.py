@@ -22,6 +22,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .integrate import SolverConfig, odeint
 
@@ -52,6 +53,9 @@ def _fwd(rhs, cfg, adjoint_cfg, consts, z0, ts, jump_t):
 
 def _bwd(rhs, cfg, adjoint_cfg, residuals, g):
     consts, z0, ts, jump_t, zs = residuals
+    # Host (NumPy) grids must become device arrays here: the backward scan
+    # indexes ts with a traced interval index.
+    ts = jnp.asarray(ts)
 
     def index_time(tree, i):
         return _tree_map(lambda x: x[i], tree)

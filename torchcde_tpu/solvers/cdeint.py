@@ -210,7 +210,10 @@ def cdeint(X, func, z0, t, adjoint=True, backend="native", **kwargs):
     if kwargs:
         warnings.warn(f"Ignoring unsupported cdeint kwargs: {sorted(kwargs)}")
 
-    t = jnp.asarray(t)
+    if not isinstance(t, np.ndarray):
+        # np grids (the default-grid case) stay host-side so step counts
+        # remain statically computable under jit.
+        t = jnp.asarray(t)
     if step_size is not None and is_concrete(step_size):
         step_size = float(step_size)
 

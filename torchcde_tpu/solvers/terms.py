@@ -15,6 +15,15 @@ def _matvec(vector_field, control_gradient):
     # (..., hidden, input) @ (..., input) -> (..., hidden), batch dims
     # broadcasting — identical semantics to the squeeze/unsqueeze matmul at
     # solver.py:126-130.
+    #
+    # CDE input/hidden channel counts are typically tiny (3-30), far below an
+    # MXU tile; XLA:TPU lowers such batched matvecs by promoting the batch
+    # dimension to a free matmul dimension, materialising a catastrophic
+    # (batch, batch, hidden) temp.  A VPU multiply-reduce is both smaller and
+    # faster there, so it is the default; genuinely large contractions go to
+    # the MXU via einsum.
+    if vector_field.shape[-1] * vector_field.shape[-2] <= 4096:
+        return jnp.sum(vector_field * control_gradient[..., None, :], axis=-1)
     return jnp.einsum("...hi,...i->...h", vector_field, control_gradient)
 
 

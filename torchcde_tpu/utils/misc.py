@@ -26,6 +26,13 @@ def is_concrete(x) -> bool:
     return not isinstance(x, jax.core.Tracer)
 
 
+def stack_endpoints(t):
+    """[t[0], t[-1]] staying host-side (concrete) for NumPy grids."""
+    if isinstance(t, np.ndarray):
+        return np.stack([t[0], t[-1]])
+    return jnp.stack([t[0], t[-1]])
+
+
 def validate_input_path(x, t):
     """Validates (x, t) and returns the (possibly defaulted) t.
 
@@ -43,12 +50,14 @@ def validate_input_path(x, t):
         )
 
     if t is None:
-        # Built from static shape information, so this stays a *concrete*
-        # array even inside jit — which lets solver step counts downstream be
-        # computed statically (no masked dead iterations).
-        t = jnp.linspace(0, x.shape[-2] - 1, x.shape[-2], dtype=x.dtype)
+        # Built host-side from static shape information as a NumPy constant:
+        # inside jit, jnp ops are staged even on constants, so a jnp default
+        # grid would become a tracer and downstream solver step counts could
+        # no longer be computed statically.
+        t = np.linspace(0, x.shape[-2] - 1, x.shape[-2], dtype=np.dtype(x.dtype))
 
-    t = jnp.asarray(t)
+    if not isinstance(t, np.ndarray):
+        t = jnp.asarray(t)
     if not jnp.issubdtype(t.dtype, jnp.floating):
         raise ValueError("t must both be floating point.")
     if t.ndim != 1:
