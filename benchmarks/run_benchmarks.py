@@ -1,0 +1,192 @@
+"""Benchmark harness for the five BASELINE.json configs.
+
+The reference publishes no numbers (BASELINE.md) so this harness creates the
+baseline record:
+
+1. spiral      — spiral Neural CDE train step (hermite + dopri5 adjoint,
+                 batch 256, length 100)
+2. irregular   — linear/rectilinear coefficient construction on irregular,
+                 variable-length, NaN-masked data
+3. cubic_fit   — natural cubic spline fit at batch 8192 x length 4096 with
+                 NaN masks (batched tridiagonal stress); reports GB/s
+4. log_ode     — depth-3 logsignature windows on length-10k series
+5. rev_heun    — reversible-Heun backend train step at large batch, and on an
+                 n-device mesh when more than one device is present
+
+Run: python benchmarks/run_benchmarks.py [names...]   (defaults to all)
+Prints one JSON line per benchmark.
+"""
+
+import json
+import math
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _median_time(fn, iters=5):
+    import jax
+
+    out = fn()
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fn()
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def _spiral(batch, length, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.linspace(0.0, 4 * math.pi, length)
+    phase = rng.uniform(0, 2 * math.pi, size=(batch, 1))
+    y = (rng.random(batch) > 0.5).astype(np.float32)
+    direction = np.where(y > 0.5, 1.0, -1.0)[:, None]
+    radius = 0.5 + t / (4 * math.pi)
+    x1 = radius * np.cos(direction * t + phase)
+    x2 = radius * np.sin(direction * t + phase)
+    X = np.stack([np.broadcast_to(t, x1.shape), x1, x2], axis=-1).astype(np.float32)
+    return X, y
+
+
+def bench_spiral():
+    import jax, jax.numpy as jnp, optax
+    import torchcde_tpu as tc
+    from torchcde_tpu.models.neural_cde import NeuralCDEConfig, init_neural_cde
+    from torchcde_tpu.models.training import make_train_step
+
+    X, y = _spiral(256, 100)
+    coeffs = tc.hermite_cubic_coefficients_with_backward_differences(jnp.asarray(X))
+    cfg = NeuralCDEConfig(
+        input_channels=3, hidden_channels=8, output_channels=1,
+        interpolation="cubic", solver="dopri5", adjoint=True,
+    )
+    params = init_neural_cde(jax.random.PRNGKey(0), cfg)
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    step = jax.jit(make_train_step(cfg, opt))
+
+    state = {"p": params, "o": opt_state}
+
+    def run():
+        state["p"], state["o"], loss = step(state["p"], state["o"], coeffs, jnp.asarray(y))
+        return loss
+
+    t = _median_time(run)
+    return {"metric": "spiral train step (hermite+dopri5 adjoint, batch 256, len 100)",
+            "value": round(1e3 * t, 3), "unit": "ms"}
+
+
+def bench_irregular():
+    import jax.numpy as jnp
+    import torchcde_tpu as tc
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((1024, 256, 8)).astype(np.float32)
+    x[rng.random(x.shape) < 0.3] = np.nan
+    t_chan = np.broadcast_to(np.linspace(0, 1, 256)[:, None], (1024, 256, 1)).astype(np.float32)
+    x = np.concatenate([t_chan, x], axis=-1)
+    xj = jnp.asarray(x)
+
+    import jax
+
+    lin = jax.jit(lambda a: tc.linear_interpolation_coeffs(a))
+    rect = jax.jit(lambda a: tc.linear_interpolation_coeffs(a, rectilinear=0))
+    t_lin = _median_time(lambda: lin(xj))
+    t_rect = _median_time(lambda: rect(xj))
+    return {"metric": "irregular NaN linear+rectilinear coeffs (1024x256x9, 30% missing)",
+            "value": round(1e3 * (t_lin + t_rect), 3), "unit": "ms"}
+
+
+def bench_cubic_fit(batch=8192, length=4096, channels=1):
+    import jax, jax.numpy as jnp
+    import torchcde_tpu as tc
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((batch, length, channels)).astype(np.float32)
+    x[rng.random(x.shape) < 0.2] = np.nan
+    xj = jnp.asarray(x)
+    fit = jax.jit(tc.natural_cubic_coeffs)
+    t = _median_time(lambda: fit(xj), iters=3)
+    gbytes = x.nbytes / 1e9
+    return {"metric": f"natural cubic NaN-masked fit ({batch}x{length}x{channels})",
+            "value": round(1e3 * t, 3), "unit": "ms",
+            "gb_per_s": round(gbytes / t, 2)}
+
+
+def bench_log_ode():
+    import jax.numpy as jnp
+    import torchcde_tpu as tc
+
+    X, _y = _spiral(32, 10000)
+    xj = jnp.asarray(X)
+
+    def run():
+        return tc.logsig_windows(xj, 3, 100.0)
+
+    t = _median_time(run, iters=3)
+    return {"metric": "depth-3 logsig windows (32x10000x3, window 100)",
+            "value": round(1e3 * t, 3), "unit": "ms"}
+
+
+def bench_rev_heun():
+    import jax, jax.numpy as jnp, optax
+    import torchcde_tpu as tc
+    from torchcde_tpu.models.neural_cde import NeuralCDEConfig, init_neural_cde
+    from torchcde_tpu.models.training import make_train_step
+    from torchcde_tpu.parallel.mesh import batch_sharding, make_mesh, shard_batch
+
+    n_dev = len(jax.devices())
+    batch = 16384 if jax.devices()[0].platform == "tpu" else 1024
+    X, y = _spiral(batch, 100)
+    coeffs = tc.hermite_cubic_coefficients_with_backward_differences(jnp.asarray(X))
+    cfg = NeuralCDEConfig(
+        input_channels=3, hidden_channels=8, output_channels=1,
+        interpolation="cubic", solver="reversible_heun", adjoint=False, step_size=1.0,
+    )
+    params = init_neural_cde(jax.random.PRNGKey(0), cfg)
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    step = jax.jit(make_train_step(cfg, opt))
+
+    yj = jnp.asarray(y)
+    if n_dev > 1:
+        mesh = make_mesh(data=n_dev, model=1)
+        coeffs = shard_batch(mesh, coeffs)
+        yj = jax.device_put(yj, batch_sharding(mesh))
+
+    state = {"p": params, "o": opt_state}
+
+    def run():
+        state["p"], state["o"], loss = step(state["p"], state["o"], coeffs, yj)
+        return loss
+
+    t = _median_time(run)
+    return {"metric": f"reversible-Heun train step (batch {batch}, {n_dev} device(s))",
+            "value": round(1e3 * t, 3), "unit": "ms"}
+
+
+BENCHES = {
+    "spiral": bench_spiral,
+    "irregular": bench_irregular,
+    "cubic_fit": bench_cubic_fit,
+    "log_ode": bench_log_ode,
+    "rev_heun": bench_rev_heun,
+}
+
+
+def main(names):
+    for name in names or list(BENCHES):
+        result = BENCHES[name]()
+        result["name"] = name
+        print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

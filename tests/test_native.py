@@ -1,0 +1,89 @@
+"""Native host runtime (C++/ctypes) vs JAX kernel equivalence."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import torchcde_tpu as tc
+from torchcde_tpu import native
+from torchcde_tpu.interpolation.linear import _fill_missing_linear
+from torchcde_tpu.ops.fill import forward_fill as jax_forward_fill
+from torchcde_tpu.ops.logsignature import lyndon_words as jax_lyndon
+from torchcde_tpu.ops.tridiagonal import tridiagonal_solve_thomas
+
+rng = np.random.default_rng(11)
+
+pytestmark = pytest.mark.skipif(not native.available(), reason="libcdehost not built")
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+def test_thomas(dtype):
+    b = rng.standard_normal((32, 50)).astype(dtype)
+    d = (rng.standard_normal((32, 50)) + 5.0).astype(dtype)
+    u = rng.standard_normal((32, 49)).astype(dtype)
+    l = rng.standard_normal((32, 49)).astype(dtype)
+    x = native.thomas_solve(b, u, d, l)
+    xr = np.asarray(
+        tridiagonal_solve_thomas(jnp.asarray(b), jnp.asarray(u), jnp.asarray(d), jnp.asarray(l))
+    )
+    assert np.allclose(x, xr, atol=1e-4 if dtype == np.float32 else 1e-10)
+
+
+def test_forward_fill():
+    x = rng.standard_normal((4, 20, 3))
+    x[rng.random(x.shape) < 0.3] = np.nan
+    ours = native.forward_fill(x)
+    ref = np.asarray(jax_forward_fill(jnp.asarray(x)))
+    assert np.allclose(ours, ref, equal_nan=True)
+
+
+def test_linear_infill():
+    x = rng.standard_normal((4, 20, 3))
+    x[rng.random(x.shape) < 0.3] = np.nan
+    x[1, :, 2] = np.nan  # all-NaN channel
+    t = np.sort(rng.random(20)) * 7 + 0.01 * np.arange(20)
+    ours = native.linear_infill(t, x)
+    ref = np.asarray(_fill_missing_linear(jnp.asarray(t), jnp.asarray(x)))
+    assert np.allclose(ours, ref, atol=1e-12)
+
+
+def test_coefficient_kernels():
+    x = rng.standard_normal((4, 20, 3))
+    t = np.sort(rng.random(20)) * 7 + 0.01 * np.arange(20)
+    assert np.allclose(
+        native.natural_cubic_dense(t, x),
+        np.asarray(tc.natural_cubic_coeffs(jnp.asarray(x), jnp.asarray(t))),
+        atol=1e-9,
+    )
+    assert np.allclose(
+        native.hermite_coeffs(t, x),
+        np.asarray(
+            tc.hermite_cubic_coefficients_with_backward_differences(
+                jnp.asarray(x), jnp.asarray(t)
+            )
+        ),
+        atol=1e-9,
+    )
+
+
+def test_lyndon():
+    for c in (2, 3, 4):
+        for d in (1, 2, 3):
+            assert native.lyndon_words(c, d) == jax_lyndon(c, d)
+
+
+def test_end_to_end_native_preprocessing():
+    """Native coeffs feed the JAX model directly (the data-loader pattern)."""
+    x = rng.standard_normal((8, 30, 3)).astype(np.float32)
+    t = np.arange(30, dtype=np.float32)
+    coeffs = native.hermite_coeffs(t, x)
+    X = tc.CubicSpline(jnp.asarray(coeffs), jnp.asarray(t))
+    out = tc.cdeint(
+        X,
+        lambda tt, z: jnp.tanh(z)[..., None] * jnp.ones((8, 2, 3), jnp.float32),
+        jnp.zeros((8, 2), jnp.float32),
+        X.interval,
+        adjoint=False,
+        method="rk4",
+    )
+    assert np.isfinite(np.asarray(out)).all()

@@ -1,0 +1,317 @@
+// cdehost: native host-side preprocessing kernels for torchcde_tpu.
+//
+// Role: the TPU-native analogue of the reference's native dependency surface
+// (torchcde itself is pure Python but leans on the C++/CUDA `signatory`
+// package for logsignatures and would lean on torch's C++ core for its
+// tensor loops — see SURVEY.md section 2, "Native components").  These
+// kernels run in the input pipeline (DataLoader-equivalent) on the host CPU,
+// so coefficient preprocessing overlaps TPU compute without touching JAX:
+//
+//   * thomas_solve_batch   — batched tridiagonal (Thomas) solve
+//   * forward_fill         — NaN fill-down along the length axis
+//   * linear_infill        — full linear NaN interpolation (endpoint
+//                            imputation + interior lerp), matching
+//                            interpolation_linear semantics
+//   * natural_cubic_dense  — natural cubic spline coefficients (a, b, 2c, 3d)
+//                            for fully-observed data
+//   * hermite_coeffs       — Hermite-with-backward-differences coefficients
+//   * lyndon_words         — Duval enumeration of the logsignature basis
+//
+// All kernels are multithreaded over the batch dimension with std::thread.
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+template <typename F>
+void parallel_for(int64_t n, int n_threads, F&& fn) {
+  if (n_threads <= 1 || n < 2) {
+    for (int64_t i = 0; i < n; ++i) fn(i);
+    return;
+  }
+  std::vector<std::thread> threads;
+  int64_t chunk = (n + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; ++t) {
+    int64_t lo = t * chunk;
+    int64_t hi = std::min(n, lo + chunk);
+    if (lo >= hi) break;
+    threads.emplace_back([lo, hi, &fn] {
+      for (int64_t i = lo; i < hi; ++i) fn(i);
+    });
+  }
+  for (auto& th : threads) th.join();
+}
+
+template <typename T>
+void thomas_one(const T* b, const T* u, const T* d, const T* l, T* x, T* nd,
+                T* nb, int64_t k) {
+  nd[0] = d[0];
+  nb[0] = b[0];
+  for (int64_t i = 1; i < k; ++i) {
+    T w = l[i - 1] / nd[i - 1];
+    nd[i] = d[i] - w * u[i - 1];
+    nb[i] = b[i] - w * nb[i - 1];
+  }
+  x[k - 1] = nb[k - 1] / nd[k - 1];
+  for (int64_t i = k - 2; i >= 0; --i) {
+    x[i] = (nb[i] - u[i] * x[i + 1]) / nd[i];
+  }
+}
+
+template <typename T>
+void thomas_batch(const T* b, const T* u, const T* d, const T* l, T* x,
+                  int64_t n_batch, int64_t k, int n_threads) {
+  parallel_for(n_batch, n_threads, [=](int64_t i) {
+    std::vector<T> nd(k), nb(k);
+    thomas_one(b + i * k, u + i * (k - 1), d + i * k, l + i * (k - 1),
+               x + i * k, nd.data(), nb.data(), k);
+  });
+}
+
+template <typename T>
+void forward_fill_impl(const T* x, T* out, int64_t n, int64_t length,
+                       int64_t channels, int n_threads) {
+  parallel_for(n, n_threads, [=](int64_t i) {
+    const T* xi = x + i * length * channels;
+    T* oi = out + i * length * channels;
+    for (int64_t c = 0; c < channels; ++c) {
+      T last = xi[c];
+      for (int64_t t = 0; t < length; ++t) {
+        T v = xi[t * channels + c];
+        if (!std::isnan(v)) last = v;
+        oi[t * channels + c] = last;
+      }
+    }
+  });
+}
+
+template <typename T>
+void linear_infill_impl(const T* t, const T* x, T* out, int64_t n,
+                        int64_t length, int64_t channels, int n_threads) {
+  parallel_for(n * channels, n_threads, [=](int64_t bc) {
+    int64_t i = bc / channels;
+    int64_t c = bc % channels;
+    const T* xi = x + i * length * channels;
+    T* oi = out + i * length * channels;
+    // first / last observed
+    int64_t first = -1, last = -1;
+    for (int64_t s = 0; s < length; ++s) {
+      if (!std::isnan(xi[s * channels + c])) {
+        if (first < 0) first = s;
+        last = s;
+      }
+    }
+    if (first < 0) {  // all-NaN channel -> zeros
+      for (int64_t s = 0; s < length; ++s) oi[s * channels + c] = T(0);
+      return;
+    }
+    T vf = xi[first * channels + c];
+    T vl = xi[last * channels + c];
+    int64_t prev = -1;
+    for (int64_t s = 0; s < length; ++s) {
+      T v = xi[s * channels + c];
+      if (s == 0 && std::isnan(v)) v = vf;
+      if (s == length - 1 && std::isnan(v)) v = vl;
+      if (!std::isnan(v)) {
+        // back-fill the gap (prev, s) linearly in t
+        if (prev >= 0 && s > prev + 1) {
+          T tp = t[prev], tn = t[s];
+          T vp = oi[prev * channels + c];
+          for (int64_t m = prev + 1; m < s; ++m) {
+            T ratio = (t[m] - tp) / (tn - tp);
+            oi[m * channels + c] = vp + ratio * (v - vp);
+          }
+        }
+        oi[s * channels + c] = v;
+        prev = s;
+      }
+    }
+  });
+}
+
+// Natural cubic spline (fully observed), matching the masked JAX kernel and
+// the mathematics of the reference (interpolation_cubic.py:7-53).  Writes
+// (a, b, two_c, three_d) packed channel-major in groups of `channels`.
+template <typename T>
+void natural_cubic_dense_impl(const T* t, const T* x, T* coeffs, int64_t n,
+                              int64_t length, int64_t channels,
+                              int n_threads) {
+  parallel_for(n * channels, n_threads, [=](int64_t bc) {
+    int64_t i = bc / channels;
+    int64_t c = bc % channels;
+    const T* xi = x + i * length * channels;
+    T* co = coeffs + i * (length - 1) * 4 * channels;
+    int64_t k = length;
+    std::vector<T> hr(k - 1), pds(k - 1), diag(k), rhs(k), nd(k), nb(k), kd(k);
+    for (int64_t s = 0; s + 1 < k; ++s) {
+      T h = t[s + 1] - t[s];
+      hr[s] = T(1) / h;
+      T dx = xi[(s + 1) * channels + c] - xi[s * channels + c];
+      pds[s] = T(3) * dx * hr[s] * hr[s];
+    }
+    for (int64_t s = 0; s < k; ++s) {
+      T left = (s > 0) ? hr[s - 1] : T(0);
+      T right = (s + 1 < k) ? hr[s] : T(0);
+      diag[s] = T(2) * (left + right);
+      rhs[s] = ((s > 0) ? pds[s - 1] : T(0)) + ((s + 1 < k) ? pds[s] : T(0));
+    }
+    thomas_one(rhs.data(), hr.data(), diag.data(), hr.data(), kd.data(),
+               nd.data(), nb.data(), k);
+    for (int64_t s = 0; s + 1 < k; ++s) {
+      T dx = xi[(s + 1) * channels + c] - xi[s * channels + c];
+      T six_pd_hr = T(6) * dx * hr[s];
+      T a = xi[s * channels + c];
+      T b = kd[s];
+      T two_c = (six_pd_hr - T(4) * kd[s] - T(2) * kd[s + 1]) * hr[s];
+      T three_d =
+          (-six_pd_hr + T(3) * (kd[s] + kd[s + 1])) * hr[s] * hr[s];
+      T* row = co + s * 4 * channels;
+      row[c] = a;
+      row[channels + c] = b;
+      row[2 * channels + c] = two_c;
+      row[3 * channels + c] = three_d;
+    }
+  });
+}
+
+// Hermite cubic with backward differences on fully-observed data
+// (reference interpolation_hermite_cubic_bdiff.py:5-20).
+template <typename T>
+void hermite_coeffs_impl(const T* t, const T* x, T* coeffs, int64_t n,
+                         int64_t length, int64_t channels, int n_threads) {
+  parallel_for(n, n_threads, [=](int64_t i) {
+    const T* xi = x + i * length * channels;
+    T* co = coeffs + i * (length - 1) * 4 * channels;
+    for (int64_t c = 0; c < channels; ++c) {
+      for (int64_t s = 0; s + 1 < length; ++s) {
+        T td = t[s + 1] - t[s];
+        T d_next = (xi[(s + 1) * channels + c] - xi[s * channels + c]) / td;
+        T d_prev;
+        if (s == 0) {
+          d_prev = d_next;
+        } else {
+          T td0 = t[s] - t[s - 1];
+          d_prev = (xi[s * channels + c] - xi[(s - 1) * channels + c]) / td0;
+        }
+        T x_prev = xi[s * channels + c];
+        T x_next = xi[(s + 1) * channels + c];
+        T a = x_prev;
+        T b = d_prev;
+        T two_c = T(2) * (T(3) * ((x_next - x_prev) / td - b) - d_next + d_prev) / td;
+        T three_d = (d_next - b) / (td * td) - two_c / td;
+        T* row = co + s * 4 * channels;
+        row[c] = a;
+        row[channels + c] = b;
+        row[2 * channels + c] = two_c;
+        row[3 * channels + c] = three_d;
+      }
+    }
+  });
+}
+
+}  // namespace
+
+extern "C" {
+
+void thomas_solve_batch_f32(const float* b, const float* u, const float* d,
+                            const float* l, float* x, int64_t n_batch,
+                            int64_t k, int n_threads) {
+  thomas_batch(b, u, d, l, x, n_batch, k, n_threads);
+}
+
+void thomas_solve_batch_f64(const double* b, const double* u, const double* d,
+                            const double* l, double* x, int64_t n_batch,
+                            int64_t k, int n_threads) {
+  thomas_batch(b, u, d, l, x, n_batch, k, n_threads);
+}
+
+void forward_fill_f32(const float* x, float* out, int64_t n, int64_t length,
+                      int64_t channels, int n_threads) {
+  forward_fill_impl(x, out, n, length, channels, n_threads);
+}
+
+void forward_fill_f64(const double* x, double* out, int64_t n, int64_t length,
+                      int64_t channels, int n_threads) {
+  forward_fill_impl(x, out, n, length, channels, n_threads);
+}
+
+void linear_infill_f32(const float* t, const float* x, float* out, int64_t n,
+                       int64_t length, int64_t channels, int n_threads) {
+  linear_infill_impl(t, x, out, n, length, channels, n_threads);
+}
+
+void linear_infill_f64(const double* t, const double* x, double* out,
+                       int64_t n, int64_t length, int64_t channels,
+                       int n_threads) {
+  linear_infill_impl(t, x, out, n, length, channels, n_threads);
+}
+
+void natural_cubic_dense_f32(const float* t, const float* x, float* coeffs,
+                             int64_t n, int64_t length, int64_t channels,
+                             int n_threads) {
+  natural_cubic_dense_impl(t, x, coeffs, n, length, channels, n_threads);
+}
+
+void natural_cubic_dense_f64(const double* t, const double* x, double* coeffs,
+                             int64_t n, int64_t length, int64_t channels,
+                             int n_threads) {
+  natural_cubic_dense_impl(t, x, coeffs, n, length, channels, n_threads);
+}
+
+void hermite_coeffs_f32(const float* t, const float* x, float* coeffs,
+                        int64_t n, int64_t length, int64_t channels,
+                        int n_threads) {
+  hermite_coeffs_impl(t, x, coeffs, n, length, channels, n_threads);
+}
+
+void hermite_coeffs_f64(const double* t, const double* x, double* coeffs,
+                        int64_t n, int64_t length, int64_t channels,
+                        int n_threads) {
+  hermite_coeffs_impl(t, x, coeffs, n, length, channels, n_threads);
+}
+
+// Duval's algorithm.  out_letters: flat buffer receiving each word's letters
+// back to back; out_lengths: one length per word.  Returns the word count.
+// Call with out_letters == nullptr to query sizes (returns count; writes
+// total letter count into *total_letters if non-null).
+int64_t lyndon_words_c(int32_t channels, int32_t depth, int32_t* out_letters,
+                       int32_t* out_lengths, int64_t* total_letters) {
+  std::vector<std::vector<int32_t>> words;
+  std::vector<int32_t> w = {-1};
+  while (!w.empty()) {
+    w.back() += 1;
+    int64_t m = (int64_t)w.size();
+    if (w.back() < channels) {
+      words.emplace_back(w);
+      while ((int32_t)w.size() < depth) w.push_back(w[w.size() - m]);
+    } else {
+      w.pop_back();
+      continue;
+    }
+    while (!w.empty() && w.back() == channels - 1) w.pop_back();
+  }
+  std::stable_sort(words.begin(), words.end(),
+                   [](const std::vector<int32_t>& a,
+                      const std::vector<int32_t>& b) {
+                     if (a.size() != b.size()) return a.size() < b.size();
+                     return a < b;
+                   });
+  int64_t letters = 0;
+  for (auto& word : words) letters += (int64_t)word.size();
+  if (total_letters) *total_letters = letters;
+  if (out_letters && out_lengths) {
+    int64_t pos = 0;
+    for (size_t i = 0; i < words.size(); ++i) {
+      out_lengths[i] = (int32_t)words[i].size();
+      for (int32_t letter : words[i]) out_letters[pos++] = letter;
+    }
+  }
+  return (int64_t)words.size();
+}
+
+}  // extern "C"

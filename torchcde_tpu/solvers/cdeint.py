@@ -199,6 +199,7 @@ def cdeint(X, func, z0, t, adjoint=True, backend="native", **kwargs):
         raise ValueError(f"Unrecognised backend={backend}")
 
     max_steps = kwargs.pop("max_steps", None)
+    return_stats = kwargs.pop("return_stats", False)
 
     adjoint_rtol = kwargs.pop("adjoint_rtol", rtol)
     adjoint_atol = kwargs.pop("adjoint_atol", atol)
@@ -225,6 +226,13 @@ def cdeint(X, func, z0, t, adjoint=True, backend="native", **kwargs):
     )
 
     rhs = make_cde_rhs(func, X)
+
+    stats = None
+    if return_stats and adjoint:
+        raise ValueError(
+            "return_stats=True requires adjoint=False (solver statistics are "
+            "collected on the direct path)."
+        )
 
     if adjoint:
         # The adjoint integrates over traced sub-intervals, so a fixed-step
@@ -253,7 +261,12 @@ def cdeint(X, func, z0, t, adjoint=True, backend="native", **kwargs):
             jump_t,
         )
     else:
-        out = odeint(rhs, z0, t, cfg, jump_t)
+        out = odeint(rhs, z0, t, cfg, jump_t, collect_stats=return_stats)
+        if return_stats:
+            out, stats = out
 
     # Move time from leading to second-to-last (solver.py:234-243).
-    return jax.tree_util.tree_map(lambda o: jnp.moveaxis(o, 0, -2), out)
+    out = jax.tree_util.tree_map(lambda o: jnp.moveaxis(o, 0, -2), out)
+    if return_stats:
+        return out, stats
+    return out

@@ -135,11 +135,12 @@ def _advance_adaptive(rhs, z0, t0, t1, dt0, state0, cfg, stepper, max_steps, jum
     """Adaptive stepping from t0 to exactly t1.  Returns (z1, dt_next, state1)."""
 
     def cond(carry):
-        t, _z, _dt, _state = carry
+        t, _z, _dt, _state, _counts = carry
         return t < t1
 
     def body(carry):
-        t, z, dt, state = carry
+        t, z, dt, state, counts = carry
+        attempted, accepted_n = counts
         dt = jnp.maximum(dt, 1e-14)
         dt_clamped = jnp.minimum(dt, t1 - t)
         if jump_t is not None:
@@ -157,31 +158,33 @@ def _advance_adaptive(rhs, z0, t0, t1, dt0, state0, cfg, stepper, max_steps, jum
         # end (or a jump), don't let that shrink the carried proposal.
         was_clamped = dt_clamped < dt
         dt_new = jnp.where(accept & was_clamped, jnp.maximum(dt, dt_new), dt_new)
-        return (t_new, z_new, dt_new, state_new)
+        counts = (attempted + 1, accepted_n + accept.astype(jnp.int32))
+        return (t_new, z_new, dt_new, state_new, counts)
 
-    t_final, z_final, dt_final, state_final = _while(
-        cond, body, (t0, z0, dt0, state0), max_steps, differentiable
+    zero = jnp.zeros((), jnp.int32)
+    _t, z_final, dt_final, state_final, counts = _while(
+        cond, body, (t0, z0, dt0, state0, (zero, zero)), max_steps, differentiable
     )
-    return z_final, dt_final, state_final
+    return z_final, dt_final, state_final, counts
 
 
 def _advance_fixed(rhs, z0, t0, t1, step_size, state0, stepper, max_steps, differentiable):
     """Fixed steps of ``step_size`` (last step clamped) from t0 to exactly t1."""
 
     def cond(carry):
-        t, _z, _state = carry
+        t, _z, _state, _n = carry
         return t < t1
 
     def body(carry):
-        t, z, state = carry
+        t, z, state, n = carry
         dt = jnp.minimum(step_size, t1 - t)
         z1, _err, state1 = stepper.step(rhs, t, z, dt, state)
-        return (t + dt, z1, state1)
+        return (t + dt, z1, state1, n + 1)
 
-    _t, z_final, state_final = _while(
-        cond, body, (t0, z0, state0), max_steps, differentiable
+    _t, z_final, state_final, n_steps = _while(
+        cond, body, (t0, z0, state0, jnp.zeros((), jnp.int32)), max_steps, differentiable
     )
-    return z_final, state_final
+    return z_final, state_final, n_steps
 
 
 def _static_fixed_steps(ts, step_size):
@@ -196,19 +199,28 @@ def _static_fixed_steps(ts, step_size):
     return max(n, 1)
 
 
-def odeint(rhs, z0, ts, cfg: SolverConfig, jump_t=None, differentiable=True):
+def odeint(rhs, z0, ts, cfg: SolverConfig, jump_t=None, differentiable=True,
+           collect_stats=False):
     """Integrates dz/dt = rhs(t, z) from ts[0], returning z at every ts[i].
 
     Output pytree leaves have the time axis *leading*: (len(ts), ...).
     Set ``differentiable=False`` inside custom_vjp adjoints: the step loops
     become plain while loops with no reverse-AD bookkeeping.
+
+    With ``collect_stats=True`` returns ``(out, stats)`` where stats carries
+    step/NFE counters (the observability torchdiffeq keeps internally but the
+    reference never exposes — SURVEY.md section 5).
     """
     stepper = cfg.stepper()
     state0 = stepper.init(rhs, ts[0], z0)
+    stages = {"euler": 1, "midpoint": 2, "heun": 2, "rk4": 4, "dopri5": 7,
+              "reversible_heun": 1}.get(cfg.method, 1)
+    init_nfe = 1 if cfg.method == "reversible_heun" else 0
 
     if stepper.adaptive and cfg.step_size is None:
         f0 = rhs(ts[0], z0)
         dt0 = select_initial_step(rhs, ts[0], z0, stepper.order, cfg.rtol, cfg.atol, f0)
+        init_nfe += 2  # initial-step-size heuristic
         max_steps = cfg.max_steps or _ADAPTIVE_DEFAULT_MAX_STEPS
 
         def advance(z, t0, t1, dt, state):
@@ -234,16 +246,30 @@ def odeint(rhs, z0, ts, cfg: SolverConfig, jump_t=None, differentiable=True):
 
         def advance(z, t0, t1, dt, state):
             step_size = cfg.step_size if cfg.step_size is not None else (t1 - t0)
-            z1, state1 = _advance_fixed(
+            z1, state1, n = _advance_fixed(
                 rhs, z, t0, t1, step_size, state, stepper, n_static, differentiable
             )
-            return z1, dt, state1
+            return z1, dt, state1, (n, n)
 
     def outer(carry, t_pair):
-        z, dt, state = carry
+        z, dt, state, counts = carry
         t0, t1 = t_pair
-        z1, dt1, state1 = advance(z, t0, t1, dt, state)
-        return (z1, dt1, state1), z1
+        z1, dt1, state1, (attempted, accepted) = advance(z, t0, t1, dt, state)
+        counts = (counts[0] + attempted, counts[1] + accepted)
+        return (z1, dt1, state1, counts), z1
 
-    (_, _, _), zs = jax.lax.scan(outer, (z0, dt0, state0), (ts[:-1], ts[1:]))
-    return _tree_map(lambda z0i, zsi: jnp.concatenate([z0i[None], zsi], axis=0), z0, zs)
+    zero = jnp.zeros((), jnp.int32)
+    (_, _, _, counts), zs = jax.lax.scan(
+        outer, (z0, dt0, state0, (zero, zero)), (jnp.asarray(ts[:-1]), jnp.asarray(ts[1:]))
+    )
+    out = _tree_map(lambda z0i, zsi: jnp.concatenate([z0i[None], zsi], axis=0), z0, zs)
+    if not collect_stats:
+        return out
+    attempted, accepted = counts
+    stats = {
+        "steps_attempted": attempted,
+        "steps_accepted": accepted,
+        "steps_rejected": attempted - accepted,
+        "nfe": init_nfe + attempted * stages,
+    }
+    return out, stats
