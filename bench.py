@@ -139,17 +139,14 @@ def bench_tpu(coeffs_np, y_np, n_steps):
     step = jax.jit(make_train_step(cfg, optimizer), donate_argnums=(0, 1))
 
     params, opt_state, loss = step(params, opt_state, coeffs, y)  # compile
-    jax.block_until_ready(loss)
-    loss0 = float(loss)
-    # Per-step blocking: robust against async-dispatch artifacts on remote
-    # backends (pipelined dispatch can otherwise under-report wall time).
+    loss0 = float(loss)  # host readback forces completion (block_until_ready
+    # does not reliably wait on the remote-tunnel backend)
     times = []
     for _ in range(n_steps):
         t0 = time.perf_counter()
         params, opt_state, loss = step(params, opt_state, coeffs, y)
-        jax.block_until_ready(loss)
+        loss1 = float(loss)
         times.append(time.perf_counter() - t0)
-    loss1 = float(loss)
     assert np.isfinite(loss1) and loss1 != loss0, (loss0, loss1)  # really training
     return float(np.median(times)), jax.devices()[0].platform
 

@@ -28,18 +28,51 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _median_time(fn, iters=5):
-    import jax
+def _force(out):
+    """Forces completion with a host readback of a scalar reduction.
 
-    out = fn()
-    jax.block_until_ready(out)
+    On the remote-tunnel TPU backend, ``block_until_ready`` does not reliably
+    wait for execution of every program; converting a value to a Python float
+    does (it must ship the bytes back).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    leaves = jax.tree_util.tree_leaves(out)
+    return float(jnp.sum(leaves[0]).astype(jnp.float32))
+
+
+def _median_time(fn, iters=5):
+    _force(fn())
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        out = fn()
-        jax.block_until_ready(out)
+        _force(fn())
         times.append(time.perf_counter() - t0)
     return float(np.median(times))
+
+
+def _chained_time(op, x, reps=8):
+    """Times a jitted op with a forced serial dependency between iterations
+    plus a final host readback — robust against remote-backend async
+    artifacts.  ``op`` must map x -> array."""
+    import jax
+    import jax.numpy as jnp
+
+    def chained(x0):
+        def body(carry, _):
+            y = op(carry)
+            bump = jnp.sum(y) * jnp.asarray(1e-20, x0.dtype)
+            return x0 + bump.astype(x0.dtype), None
+
+        final, _ = jax.lax.scan(body, x0, None, length=reps)
+        return final
+
+    g = jax.jit(chained)
+    _force(g(x))
+    t0 = time.perf_counter()
+    _force(g(x))
+    return (time.perf_counter() - t0) / reps
 
 
 def _spiral(batch, length, seed=0):
@@ -94,12 +127,8 @@ def bench_irregular():
     x = np.concatenate([t_chan, x], axis=-1)
     xj = jnp.asarray(x)
 
-    import jax
-
-    lin = jax.jit(lambda a: tc.linear_interpolation_coeffs(a))
-    rect = jax.jit(lambda a: tc.linear_interpolation_coeffs(a, rectilinear=0))
-    t_lin = _median_time(lambda: lin(xj))
-    t_rect = _median_time(lambda: rect(xj))
+    t_lin = _chained_time(lambda a: tc.linear_interpolation_coeffs(a), xj)
+    t_rect = _chained_time(lambda a: tc.linear_interpolation_coeffs(a, rectilinear=0), xj)
     return {"metric": "irregular NaN linear+rectilinear coeffs (1024x256x9, 30% missing)",
             "value": round(1e3 * (t_lin + t_rect), 3), "unit": "ms"}
 
@@ -112,8 +141,7 @@ def bench_cubic_fit(batch=8192, length=4096, channels=1):
     x = rng.standard_normal((batch, length, channels)).astype(np.float32)
     x[rng.random(x.shape) < 0.2] = np.nan
     xj = jnp.asarray(x)
-    fit = jax.jit(tc.natural_cubic_coeffs)
-    t = _median_time(lambda: fit(xj), iters=3)
+    t = _chained_time(tc.natural_cubic_coeffs, xj, reps=4)
     gbytes = x.nbytes / 1e9
     return {"metric": f"natural cubic NaN-masked fit ({batch}x{length}x{channels})",
             "value": round(1e3 * t, 3), "unit": "ms",

@@ -70,12 +70,65 @@ def _natural_cubic_coeffs_dense(t, x):
     return _spline_algebra(x, kd, hr, six_pd_hr)
 
 
+def _masked_thomas_observed(diag, rhs, hr, hr_prev, observed):
+    """Thomas solve of the 'gappy' tridiagonal system living at observed
+    positions of the full grid, gather-free.
+
+    The reduced natural-spline system couples consecutive *observed* knots;
+    rather than compacting them (argsort + gathers — scalar-expensive on
+    TPU), the forward sweep and back-substitution scan the full grid and pass
+    the carry through missing rows with selects.  All arrays (..., length);
+    couplings: upper/lower between observed knot and its next observed
+    neighbour are both hr (at the earlier knot); hr_prev is hr carried from
+    the previous observed position.
+    """
+    length = diag.shape[-1]
+    dT = jnp.moveaxis(diag, -1, 0)
+    rT = jnp.moveaxis(rhs, -1, 0)
+    hT = jnp.moveaxis(hr, -1, 0)
+    hpT = jnp.moveaxis(hr_prev, -1, 0)
+    oT = jnp.moveaxis(observed, -1, 0)
+
+    def fwd(carry, inp):
+        prev_d, prev_b = carry
+        d_i, r_i, hp_i, o_i = inp
+        w = hp_i / prev_d
+        nd = d_i - w * hp_i
+        nb = r_i - w * prev_b
+        nd = jnp.where(o_i, nd, prev_d)
+        nb = jnp.where(o_i, nb, prev_b)
+        out_d = jnp.where(o_i, nd, jnp.ones_like(nd))
+        out_b = jnp.where(o_i, nb, jnp.zeros_like(nb))
+        return (nd, nb), (out_d, out_b)
+
+    ones = jnp.ones_like(dT[0])
+    zeros = jnp.zeros_like(dT[0])
+    _, (ndT, nbT) = jax.lax.scan(fwd, (ones, zeros), (dT, rT, hpT, oT))
+
+    def bwd(carry, inp):
+        x_next = carry
+        nd_i, nb_i, h_i, o_i = inp
+        x_i = (nb_i - h_i * x_next) / nd_i
+        x_next = jnp.where(o_i, x_i, x_next)
+        return x_next, jnp.where(o_i, x_i, jnp.zeros_like(x_i))
+
+    _, xT = jax.lax.scan(bwd, zeros, (ndT, nbT, hT, oT), reverse=True)
+    return jnp.moveaxis(xT, 0, -1)
+
+
 def _natural_cubic_coeffs_masked(t, x, _version):
-    """NaN-aware natural spline on (..., length), length last, fully batched.
+    """NaN-aware natural spline on (..., length), length last, fully batched
+    and gather-free.
 
     Reproduces _natural_cubic_spline_coeffs_with_missing_values_scalar
-    (interpolation_cubic.py:78-167) for every batch row and channel at once.
+    (interpolation_cubic.py:78-167) for every batch row and channel at once:
+    next-observed quantities come from select-combine fill scans, the reduced
+    tridiagonal system is solved in place on the full grid by a masked Thomas
+    scan, and the reference's sequential polynomial re-basing walk
+    (interpolation_cubic.py:147-162) becomes one forward fill scan.
     """
+    from ..ops.fill import masked_fill_scan
+
     length = x.shape[-1]
     observed = ~jnp.isnan(x)
     any_obs = jnp.any(observed, axis=-1, keepdims=True)
@@ -97,44 +150,57 @@ def _natural_cubic_coeffs_masked(t, x, _version):
         x = jnp.where(pos > last_idx, v_last, x)
 
     observed = ~jnp.isnan(x)
-    n_obs = jnp.sum(observed, axis=-1)[..., None]  # (..., 1)
+    x_safe = jnp.where(observed, x, jnp.zeros_like(x))
+    t_b = jnp.broadcast_to(t.astype(x.dtype), x.shape)
 
-    # Stable compaction: observed knots to the front, order preserved.
-    order = jnp.argsort(~observed, axis=-1, stable=True)
-    x_comp = jnp.take_along_axis(x, order, axis=-1)
-    t_comp = jnp.take(t, order)
-    genuine = pos < n_obs
-    # Padded knots continue strictly increasing so every spacing is positive;
-    # their equations are decoupled below, so the values are otherwise unused.
-    t_comp = jnp.where(genuine, t_comp, t[-1] + (pos - n_obs + 1).astype(t.dtype))
-    x_comp = jnp.where(genuine, x_comp, jnp.zeros_like(x_comp))
+    # Next observed (value, time) strictly after each position.
+    xn_inc, tn_inc = masked_fill_scan((x_safe, t_b), observed, axis=-1, reverse=True)
+    pad_x = xn_inc[..., -1:]
+    pad_t = tn_inc[..., -1:] + 1  # sentinel: no later observation
+    xn = jnp.concatenate([xn_inc[..., 1:], pad_x], axis=-1)
+    tn = jnp.concatenate([tn_inc[..., 1:], pad_t], axis=-1)
 
-    h = t_comp[..., 1:] - t_comp[..., :-1]
-    interval_valid = pos[..., :-1] < (n_obs - 1)
-    hr = jnp.where(interval_valid, 1.0 / h, jnp.zeros_like(h))
-    six_pd_hr = 6 * (x_comp[..., 1:] - x_comp[..., :-1]) * hr
+    # An interval starts at an observed position that has a later observation.
+    later_obs = jnp.flip(jnp.cumsum(jnp.flip(observed, -1).astype(jnp.int32), -1), -1)
+    has_next = observed & (later_obs > 1)
+
+    h = tn - t_b
+    hr = jnp.where(has_next, 1.0 / jnp.where(has_next, h, jnp.ones_like(h)), 0.0)
+    six_pd_hr = 6 * (xn - x_safe) * hr
     pds = 0.5 * six_pd_hr * hr
 
-    z = jnp.zeros(hr.shape[:-1] + (1,), dtype=x.dtype)
-    diag = 2 * (jnp.concatenate([z, hr], axis=-1) + jnp.concatenate([hr, z], axis=-1))
-    diag = jnp.where(diag == 0, jnp.ones_like(diag), diag)  # identity rows for padding
-    rhs = jnp.concatenate([pds, z], axis=-1) + jnp.concatenate([z, pds], axis=-1)
+    # Previous-observed-interval quantities (hr, pds at the previous observed
+    # knot), forward-filled exclusively.
+    hr_f, pds_f = masked_fill_scan((hr, pds), observed, axis=-1)
+    zero_col = jnp.zeros_like(hr[..., :1])
+    hr_prev = jnp.concatenate([zero_col, hr_f[..., :-1]], axis=-1)
+    pds_prev = jnp.concatenate([zero_col, pds_f[..., :-1]], axis=-1)
 
-    kd = tridiagonal_solve(rhs, hr, diag, hr)
-    a0, b0, two_c0, three_d0 = _spline_algebra(x_comp, kd, hr, six_pd_hr)
+    diag = 2 * (hr_prev + hr)
+    diag = jnp.where(observed & (diag > 0), diag, jnp.ones_like(diag))
+    rhs = pds_prev + pds
 
-    # Re-base each observed-knot polynomial onto every full-grid interval
-    # (vectorizes the walk at interpolation_cubic.py:147-162).  The compacted
-    # index of the last observed knot at-or-before grid position j is simply
-    # cumsum(observed)[j] - 1.
-    k = jnp.cumsum(observed.astype(jnp.int32), axis=-1)[..., :-1] - 1
-    k = jnp.clip(k, 0, length - 2)
-    offset = jnp.take_along_axis(t_comp, k, axis=-1) - t[: length - 1]
+    kd = _masked_thomas_observed(diag, rhs, hr, hr_prev, observed)
 
-    a_k = jnp.take_along_axis(a0, k, axis=-1)
-    b_k = jnp.take_along_axis(b0, k, axis=-1)
-    two_c_k = jnp.take_along_axis(two_c0, k, axis=-1)
-    three_d_k = jnp.take_along_axis(three_d0, k, axis=-1)
+    # kd at the next observed knot (strictly after).
+    kdn_inc = masked_fill_scan(kd, observed, axis=-1, reverse=True)
+    kdn = jnp.concatenate([kdn_inc[..., 1:], kdn_inc[..., -1:]], axis=-1)
+
+    a0 = x_safe
+    b0 = kd
+    two_c0 = (six_pd_hr - 4 * kd - 2 * kdn) * hr
+    three_d0 = (-six_pd_hr + 3 * (kd + kdn)) * hr * hr
+
+    # Re-base: the polynomial of the last observed knot at-or-before each grid
+    # interval, via one forward fill scan (replaces the reference's walk).
+    a_k, b_k, two_c_k, three_d_k, t_obs = masked_fill_scan(
+        (a0, b0, two_c0, three_d0, t_b), observed, axis=-1
+    )
+    a_k = a_k[..., :-1]
+    b_k = b_k[..., :-1]
+    two_c_k = two_c_k[..., :-1]
+    three_d_k = three_d_k[..., :-1]
+    offset = t_obs[..., :-1] - t_b[..., :-1]
 
     a = a_k + ((0.5 * two_c_k - three_d_k * offset / 3) * offset - b_k) * offset
     b = b_k + (three_d_k * offset - two_c_k) * offset

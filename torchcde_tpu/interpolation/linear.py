@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.fill import forward_fill, prev_observed_index, next_observed_index
+from ..ops.fill import forward_fill, masked_fill_scan
 from ..utils.misc import is_concrete, validate_input_path
 from .base import InterpolationBase, register_control
 
@@ -28,38 +28,42 @@ def _fill_missing_linear(t, x):
     interior NaN runs are linearly interpolated in ``t`` between the
     neighbouring observations; all-NaN channels become zeros.
     x: (..., length, channels); t: (length,).
+
+    Internally the length axis is moved last: channel counts are tiny
+    (lane-wasting) while lengths are long, so scans/gathers along the minor
+    axis tile far better on TPU.
     """
-    length = x.shape[-2]
-    observed = ~jnp.isnan(x)
-    any_obs = jnp.any(observed, axis=-2, keepdims=True)
+    xT = jnp.swapaxes(x, -1, -2)  # (..., channels, length)
+    length = xT.shape[-1]
+    t = jnp.asarray(t) if not isinstance(t, jnp.ndarray) else t
 
-    first_idx = jnp.argmax(observed, axis=-2)[..., None, :]
-    last_idx = (length - 1) - jnp.argmax(jnp.flip(observed, axis=-2), axis=-2)[..., None, :]
-    v_first = jnp.take_along_axis(x, first_idx, axis=-2)
-    v_last = jnp.take_along_axis(x, last_idx, axis=-2)
+    observed = ~jnp.isnan(xT)
+    any_obs = jnp.any(observed, axis=-1, keepdims=True)
 
-    pos = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 2)
-    x = jnp.where((pos == 0) & ~observed, v_first, x)
-    x = jnp.where((pos == length - 1) & ~observed, v_last, x)
+    first_idx = jnp.argmax(observed, axis=-1)[..., None]
+    last_idx = (length - 1) - jnp.argmax(jnp.flip(observed, axis=-1), axis=-1)[..., None]
+    v_first = jnp.take_along_axis(xT, first_idx, axis=-1)
+    v_last = jnp.take_along_axis(xT, last_idx, axis=-1)
 
-    observed = ~jnp.isnan(x)
-    prev_idx = prev_observed_index(observed, axis=-2)
-    next_idx = next_observed_index(observed, axis=-2)
-    prev_c = jnp.clip(prev_idx, 0, length - 1)
-    next_c = jnp.clip(next_idx, 0, length - 1)
-    xp = jnp.take_along_axis(x, prev_c, axis=-2)
-    xn = jnp.take_along_axis(x, next_c, axis=-2)
-    tp = jnp.take(t, prev_c)
-    tn = jnp.take(t, next_c)
-    t_here = t.reshape((length,) + (1,) * 1)  # (length, 1) broadcasts over channels
+    pos = jax.lax.broadcasted_iota(jnp.int32, xT.shape, xT.ndim - 1)
+    xT = jnp.where((pos == 0) & ~observed, v_first, xT)
+    xT = jnp.where((pos == length - 1) & ~observed, v_last, xT)
+
+    observed = ~jnp.isnan(xT)
+    # Gather-free prev/next observed (value, time) fills: TPU gathers are
+    # scalar-expensive, a select-combine scan is log2(n) vector passes.
+    t_b = jnp.broadcast_to(t.astype(xT.dtype), xT.shape)
+    safe_x = jnp.where(observed, xT, jnp.zeros_like(xT))
+    xp, tp = masked_fill_scan((safe_x, t_b), observed, axis=-1)
+    xn, tn = masked_fill_scan((safe_x, t_b), observed, axis=-1, reverse=True)
 
     denom = jnp.where(tn > tp, tn - tp, jnp.ones_like(tn))
-    ratio = (t_here - tp) / denom
+    ratio = (t - tp) / denom
     filled = xp + ratio * (xn - xp)
 
-    out = jnp.where(observed, x, filled)
+    out = jnp.where(observed, xT, filled)
     out = jnp.where(any_obs, out, jnp.zeros_like(out))
-    return out
+    return jnp.swapaxes(out, -1, -2)
 
 
 def _prepare_rectilinear_interpolation(data, time_index):

@@ -27,6 +27,32 @@ def prev_observed_index(observed, axis=-2):
     return jax.lax.cummax(marked, axis=axis % observed.ndim)
 
 
+def masked_fill_scan(values, observed, axis=-1, reverse=False):
+    """Carries the most recent observed entry of each array in ``values``
+    forward (or backward) along ``axis`` — gather-free.
+
+    TPU gathers are scalar-expensive; this replaces take-along-axis fills with
+    a select-combine associative scan (log2(n) full-width vector passes).
+    Positions before the first observation keep their original entries.
+    """
+    single = not isinstance(values, (tuple, list))
+    if single:
+        values = (values,)
+
+    def combine(a, b):
+        # b is "later" in scan order; keep b's payload where b is valid.
+        a_vals, a_flag = a[:-1], a[-1]
+        b_vals, b_flag = b[:-1], b[-1]
+        out = tuple(jnp.where(b_flag, bv, av) for av, bv in zip(a_vals, b_vals))
+        return out + (a_flag | b_flag,)
+
+    elems = tuple(values) + (observed,)
+    out = jax.lax.associative_scan(combine, elems, axis=axis % observed.ndim,
+                                   reverse=reverse)
+    filled = out[:-1]
+    return filled[0] if single else filled
+
+
 def next_observed_index(observed, axis=-2):
     """For each position, index of the nearest True at or after it; size if none."""
     axis = axis % observed.ndim
@@ -40,13 +66,16 @@ def forward_fill(x, fill_index=-2):
     """Forward fills NaNs along ``fill_index`` (reference: misc.py:103-126).
 
     Leading NaNs (no prior observation) are left as NaN, matching the
-    reference's cummax-gather behavior.
+    reference's cummax-gather behavior.  When filling along the
+    second-to-last axis of an array with a small trailing (channel) axis, the
+    scan/gather runs with the fill axis minor — small channel counts waste
+    TPU vector lanes otherwise.
     """
     axis = fill_index % x.ndim
+    if axis == x.ndim - 2 and x.shape[-1] < 32 <= x.shape[axis]:
+        return jnp.swapaxes(forward_fill(jnp.swapaxes(x, -1, -2), -1), -1, -2)
     observed = ~jnp.isnan(x)
-    prev_idx = prev_observed_index(observed, axis=axis)
-    gathered = jnp.take_along_axis(x, jnp.maximum(prev_idx, 0), axis=axis)
-    return jnp.where(prev_idx >= 0, gathered, x)
+    return masked_fill_scan(x, observed, axis=axis)
 
 
 def backward_fill(x, fill_index=-2):

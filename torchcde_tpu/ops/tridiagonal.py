@@ -142,13 +142,16 @@ def tridiagonal_solve(b, A_upper, A_diagonal, A_lower, *, method="auto"):
         for dim in shape[:-1]:
             batch *= dim
         dtype = jnp.result_type(b.dtype, A_diagonal.dtype)
-        if (
-            jax.default_backend() == "tpu"
-            and k <= 2048
-            and batch >= 1024
-            and dtype in (jnp.float32, jnp.bfloat16)
-        ):
-            method = "pallas"
+        if jax.default_backend() == "tpu":
+            if k <= 2048 and batch >= 1024 and dtype in (jnp.float32, jnp.bfloat16):
+                method = "pallas"
+            elif k > 256:
+                # Long systems: the sequential Thomas scan pays per-iteration
+                # loop overhead k times on TPU; PCR is log2(k) full-width
+                # vector passes instead.
+                method = "pcr"
+            else:
+                method = "thomas"
         else:
             method = "thomas"
     if method == "thomas":

@@ -234,6 +234,28 @@ def cdeint(X, func, z0, t, adjoint=True, backend="native", **kwargs):
             "collected on the direct path)."
         )
 
+    if adjoint and method == "reversible_heun":
+        # The algebraically-reversible stepper gets its specialised exact
+        # O(1)-memory adjoint (reversible_adjoint.py) instead of the
+        # continuous backsolve.
+        from .reversible_adjoint import reversible_heun_solve
+
+        if not is_concrete(t):
+            raise ValueError(
+                "reversible_heun with adjoint=True needs concrete output "
+                "times (the exact step sequence is replayed in reverse)."
+            )
+        if step_size is None:
+            step_size = float(np.max(np.diff(np.asarray(t, dtype=np.float64))))
+        rhs_conv, consts = jax.closure_convert(rhs, t[0], z0)
+        out = reversible_heun_solve(
+            lambda s, z, c: rhs_conv(s, z, *c), list(consts), z0, t, step_size
+        )
+        out = jax.tree_util.tree_map(lambda o: jnp.moveaxis(o, 0, -2), out)
+        if return_stats:
+            return out, stats
+        return out
+
     if adjoint:
         # The adjoint integrates over traced sub-intervals, so a fixed-step
         # adjoint needs an explicit step bound; derive it from t when concrete.
