@@ -14,7 +14,9 @@ alignment at log_ode.py:25-38.
 """
 
 import math
+from functools import partial
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -80,16 +82,29 @@ def _logsignature_windows(x, depth, window_length, t, _version):
         full[..., ~insert_mask, :] = x_np
         x = jnp.asarray(full)
     merged_t_j = jnp.asarray(merged_t, dtype=x.dtype)
-    x = linear_interpolation_coeffs(x, merged_t_j)
+    if _version == 0:
+        widths = jnp.asarray(new_t[1:] - new_t[:-1], dtype=x.dtype)
+    else:
+        widths = None
+    # One compiled program for the whole device-side pipeline (eager op-by-op
+    # execution pays a dispatch round-trip per op on remote backends).
+    out = _device_logsig_windows(x, merged_t_j, widths, depth, tuple(boundaries))
+
+    if _version == 0:
+        return out, jnp.asarray(new_t, dtype=x.dtype)
+    return out
+
+
+@partial(jax.jit, static_argnames=("depth", "boundaries"))
+def _device_logsig_windows(x, merged_t, widths, depth, boundaries):
+    x = linear_interpolation_coeffs(x, merged_t)
 
     batch_shape = x.shape[:-2]
     channels = x.shape[-1]
     n_logsig = logsignature_channels(channels, depth)
 
     logsigs = windowed_logsignatures(x, depth, jnp.asarray(boundaries))
-
-    if _version == 0:
-        widths = jnp.asarray(new_t[1:] - new_t[:-1], dtype=x.dtype)
+    if widths is not None:
         logsigs = logsigs * widths[..., :, None]
 
     # The first "increment" carries the initial position X(t0), padded into
@@ -98,11 +113,7 @@ def _logsignature_windows(x, depth, window_length, t, _version):
     first = first.at[..., 0, :channels].set(x[..., 0, :])
 
     out = jnp.concatenate([first, logsigs], axis=-2)
-    out = jnp.cumsum(out, axis=-2)  # increments ARE the logsignatures
-
-    if _version == 0:
-        return out, jnp.asarray(new_t, dtype=x.dtype)
-    return out
+    return jnp.cumsum(out, axis=-2)  # increments ARE the logsignatures
 
 
 def logsignature_windows(x, depth, window_length, t=None):

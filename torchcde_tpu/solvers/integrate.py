@@ -171,6 +171,20 @@ def _advance_adaptive(rhs, z0, t0, t1, dt0, state0, cfg, stepper, max_steps, jum
 def _advance_fixed(rhs, z0, t0, t1, step_size, state0, stepper, max_steps, differentiable):
     """Fixed steps of ``step_size`` (last step clamped) from t0 to exactly t1."""
 
+    if state0 is None:
+        # State-free (plain RK) steppers: a straight lax.scan with dt clamped
+        # to [0, t1 - t].  Padding iterations (dt = 0) are exact identities
+        # (z1 = z + 0 * ...), so no cond/while bookkeeping is needed — the
+        # cheapest possible loop for the hot fixed-step path.
+        def body(carry, _):
+            t, z = carry
+            dt = jnp.clip(t1 - t, 0.0, step_size)
+            z1, _err, _state = stepper.step(rhs, t, z, dt, None)
+            return (t + dt, z1), None
+
+        (_t, z_final), _ = jax.lax.scan(body, (t0, z0), None, length=max_steps)
+        return z_final, None, jnp.asarray(max_steps, jnp.int32)
+
     def cond(carry):
         t, _z, _state, _n = carry
         return t < t1
