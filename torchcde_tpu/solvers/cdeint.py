@@ -283,9 +283,19 @@ def cdeint(X, func, z0, t, adjoint=True, backend="native", **kwargs):
             jump_t,
         )
     else:
-        out = odeint(rhs, z0, t, cfg, jump_t, collect_stats=return_stats)
-        if return_stats:
-            out, stats = out
+        out = None
+        if jump_t is None and not return_stats:
+            # Knot-aligned fused fast path: streams coefficient rows through
+            # the step scan, eliminating per-stage searchsorted + gathers
+            # (see solvers/fused_fixed.py); produces the identical step
+            # sequence or declines.
+            from .fused_fixed import try_fused_fixed
+
+            out = try_fused_fixed(X, func, z0, t, method, step_size)
+        if out is None:
+            out = odeint(rhs, z0, t, cfg, jump_t, collect_stats=return_stats)
+            if return_stats:
+                out, stats = out
 
     # Move time from leading to second-to-last (solver.py:234-243).
     out = jax.tree_util.tree_map(lambda o: jnp.moveaxis(o, 0, -2), out)
