@@ -24,7 +24,7 @@ HIDDEN = 8
 WIDTH = 128
 STEP_SIZE = 1.0
 TORCH_STEPS = 2
-TPU_STEPS = 20
+TPU_STEPS = 30
 
 
 def spiral_data(batch, length, seed=0):
@@ -141,14 +141,16 @@ def bench_tpu(coeffs_np, y_np, n_steps):
     params, opt_state, loss = step(params, opt_state, coeffs, y)  # compile
     loss0 = float(loss)  # host readback forces completion (block_until_ready
     # does not reliably wait on the remote-tunnel backend)
-    times = []
+    # Steady-state throughput: chain n_steps through their data dependency
+    # (params/opt_state thread step to step) and read back once — per-step
+    # host round-trips would otherwise dominate and add +-15% noise.
+    t0 = time.perf_counter()
     for _ in range(n_steps):
-        t0 = time.perf_counter()
         params, opt_state, loss = step(params, opt_state, coeffs, y)
-        loss1 = float(loss)
-        times.append(time.perf_counter() - t0)
+    loss1 = float(loss)
+    elapsed = time.perf_counter() - t0
     assert np.isfinite(loss1) and loss1 != loss0, (loss0, loss1)  # really training
-    return float(np.median(times)), jax.devices()[0].platform
+    return elapsed / n_steps, jax.devices()[0].platform
 
 
 def main():

@@ -125,6 +125,32 @@ def _make_rk_stepper(tableau: ButcherTableau) -> Stepper:
     return Stepper(init=init, step=step, order=tableau.order, adaptive=tableau.c_error is not None)
 
 
+def _make_dopri5_fsal() -> Stepper:
+    """Dormand–Prince 5(4) with the first-same-as-last optimisation: the 7th
+    stage is f(t + dt, z1) (its A row equals b), so it seeds the next step's
+    first stage — 6 evaluations per step instead of 7.  The cached stage
+    remains valid across rejections (same (t, z)) and across output-interval
+    boundaries; it is NOT valid across derivative discontinuities, so
+    integrate.py falls back to the stateless variant when jump_t is given.
+    """
+    tab = DOPRI5
+
+    def init(rhs, t0, z0):
+        return rhs(t0, z0)
+
+    def step(rhs, t, z, dt, k1):
+        ks = [k1]
+        for alpha_i, beta_i in zip(tab.alpha, tab.beta):
+            ti = t + alpha_i * dt
+            zi = tree_axpy(dt, _weighted_sum(beta_i, ks), z)
+            ks.append(rhs(ti, zi))
+        z1 = tree_axpy(dt, _weighted_sum(tab.c_sol, ks), z)
+        err = tree_scale(dt, _weighted_sum(tab.c_error, ks))
+        return z1, err, ks[-1]
+
+    return Stepper(init=init, step=step, order=tab.order, adaptive=True)
+
+
 def _make_reversible_heun() -> Stepper:
     """Algebraically reversible Heun (Kidger et al. 2021; the torchsde
     capability referenced at reference README.md:105).  Carries the companion
@@ -154,6 +180,7 @@ STEPPERS = {
     "midpoint": _make_rk_stepper(MIDPOINT),
     "heun": _make_rk_stepper(HEUN),
     "rk4": _make_rk_stepper(RK4),
-    "dopri5": _make_rk_stepper(DOPRI5),
+    "dopri5": _make_dopri5_fsal(),
+    "dopri5_nofsal": _make_rk_stepper(DOPRI5),
     "reversible_heun": _make_reversible_heun(),
 }
