@@ -63,11 +63,22 @@ def _thomas_kernel(d_ref, b_ref, u_ref, l_ref, out_ref, nd_ref, nb_ref):
     jax.lax.fori_loop(0, k - 1, bwd, x_last)
 
 
+def _tile_width(k, n):
+    """Widest batch tile that divides n and whose ~7 (k, tile) f32 buffers
+    fit in VMEM; wider tiles fill more VPU sublanes per recurrence row."""
+    budget = 12 * 1024 * 1024 // (7 * 4 * max(k, 1))  # lane columns in budget
+    tile = _LANES
+    while tile * 2 <= budget and n % (tile * 2) == 0 and tile < 2048:
+        tile *= 2
+    return tile
+
+
 def _thomas_pallas_2d(d, b, u, l):
     """Solve for (k, n) arrays (length-major, batch in lanes); n % 128 == 0."""
     k, n = d.shape
-    grid = (n // _LANES,)
-    spec = pl.BlockSpec((k, _LANES), lambda i: (0, i), memory_space=pltpu.VMEM)
+    tile = _tile_width(k, n)
+    grid = (n // tile,)
+    spec = pl.BlockSpec((k, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _thomas_kernel,
         out_shape=jax.ShapeDtypeStruct((k, n), d.dtype),
@@ -75,8 +86,8 @@ def _thomas_pallas_2d(d, b, u, l):
         in_specs=[spec, spec, spec, spec],
         out_specs=spec,
         scratch_shapes=[
-            pltpu.VMEM((k, _LANES), d.dtype),
-            pltpu.VMEM((k, _LANES), d.dtype),
+            pltpu.VMEM((k, tile), d.dtype),
+            pltpu.VMEM((k, tile), d.dtype),
         ],
         cost_estimate=pl.CostEstimate(
             flops=8 * k * n, bytes_accessed=5 * 4 * k * n, transcendentals=0
