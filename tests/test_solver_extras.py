@@ -1,0 +1,71 @@
+"""Additional solver-surface contracts: bosh3, jump_t, adjoint tolerances."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import torchcde_tpu
+
+rng = np.random.default_rng(41)
+
+
+def _problem():
+    x = jnp.asarray(rng.standard_normal((2, 10, 2)))
+    X = torchcde_tpu.CubicSpline(
+        torchcde_tpu.hermite_cubic_coefficients_with_backward_differences(x)
+    )
+    v = jnp.asarray(rng.random((1, 1, 2)))
+    f = lambda t, z: jax.nn.sigmoid(z)[..., None] + v
+    z0 = jnp.asarray(rng.random((2, 3)))
+    return X, f, z0
+
+
+def test_bosh3_converges():
+    X, f, z0 = _problem()
+    ref = torchcde_tpu.cdeint(X, f, z0, X.interval, adjoint=False, method="rk4",
+                              options=dict(step_size=0.01))
+    out = torchcde_tpu.cdeint(X, f, z0, X.interval, adjoint=False, method="bosh3",
+                              rtol=1e-6, atol=1e-8)
+    assert np.allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_jump_t():
+    X, f, z0 = _problem()
+    jumps = jnp.asarray(np.arange(1.0, 9.0))
+    out_j, stats_j = torchcde_tpu.cdeint(
+        X, f, z0, X.interval, adjoint=False, method="dopri5",
+        options=dict(jump_t=jumps), return_stats=True,
+    )
+    out_n, stats_n = torchcde_tpu.cdeint(
+        X, f, z0, X.interval, adjoint=False, method="dopri5", return_stats=True
+    )
+    assert np.isfinite(np.asarray(out_j)).all()
+    # jump_t forces at least one step per inter-knot span
+    assert int(stats_j["steps_accepted"]) >= 8
+    ref = torchcde_tpu.cdeint(X, f, z0, X.interval, adjoint=False, method="rk4",
+                              options=dict(step_size=0.01))
+    # landing on the Hermite kinks makes the solve *more* accurate
+    err_j = np.abs(np.asarray(out_j) - np.asarray(ref)).max()
+    assert err_j < 1e-3
+
+
+def test_adjoint_tolerance_kwargs():
+    X, f, z0 = _problem()
+
+    def loss(z0_, **kw):
+        out = torchcde_tpu.cdeint(X, f, z0_, X.interval, adjoint=True,
+                                  method="dopri5", **kw)
+        return jnp.sum(out[:, -1])
+
+    g_default = jax.grad(loss)(z0)
+    g_tight = jax.grad(lambda z: loss(z, adjoint_rtol=1e-8, adjoint_atol=1e-10))(z0)
+    assert np.allclose(np.asarray(g_default), np.asarray(g_tight), rtol=1e-2, atol=1e-4)
+
+
+def test_log_ode_validation():
+    x = jnp.asarray(rng.standard_normal((2, 10, 2)))
+    with pytest.raises(ValueError):
+        torchcde_tpu.logsig_windows(x, 0, 2.0)
+    with pytest.raises(ValueError):
+        torchcde_tpu.logsig_windows(x, 2, -1.0)

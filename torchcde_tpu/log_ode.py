@@ -61,6 +61,10 @@ def _merge_window_grid(t_np, window_length):
 
 
 def _logsignature_windows(x, depth, window_length, t, _version):
+    if not isinstance(depth, int) or depth < 1:
+        raise ValueError(f"depth must be a positive integer, got {depth!r}")
+    if not float(window_length) > 0:
+        raise ValueError(f"window_length must be positive, got {window_length!r}")
     x = jnp.asarray(x)
     t = validate_input_path(x, t)
     if not (is_concrete(t) and is_concrete(x)):

@@ -230,8 +230,8 @@ def odeint(rhs, z0, ts, cfg: SolverConfig, jump_t=None, differentiable=True,
         # The FSAL cache is invalid across derivative discontinuities.
         stepper = STEPPERS["dopri5_nofsal"]
     state0 = stepper.init(rhs, ts[0], z0)
-    stages = {"euler": 1, "midpoint": 2, "heun": 2, "rk4": 4, "dopri5": 6,
-              "dopri5_nofsal": 7, "reversible_heun": 1}.get(cfg.method, 1)
+    stages = {"euler": 1, "midpoint": 2, "heun": 2, "rk4": 4, "bosh3": 4,
+              "dopri5": 6, "dopri5_nofsal": 7, "reversible_heun": 1}.get(cfg.method, 1)
     if cfg.method == "dopri5" and jump_t is not None:
         stages = 7
     init_nfe = 1 if cfg.method in ("reversible_heun", "dopri5") else 0

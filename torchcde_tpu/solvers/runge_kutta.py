@@ -74,6 +74,17 @@ RK4 = ButcherTableau(
     order=4,
 )
 
+_BOSH3_B = (2 / 9, 1 / 3, 4 / 9, 0.0)
+_BOSH3_BHAT = (7 / 24, 1 / 4, 1 / 3, 1 / 8)
+
+BOSH3 = ButcherTableau(
+    alpha=(1 / 2, 3 / 4, 1.0),
+    beta=((1 / 2,), (0.0, 3 / 4), (2 / 9, 1 / 3, 4 / 9)),
+    c_sol=_BOSH3_B,
+    c_error=tuple(b - bh for b, bh in zip(_BOSH3_B, _BOSH3_BHAT)),
+    order=3,
+)
+
 _DOPRI5_B = (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0)
 _DOPRI5_B4 = (5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200, 187 / 2100, 1 / 40)
 
@@ -180,6 +191,7 @@ STEPPERS = {
     "midpoint": _make_rk_stepper(MIDPOINT),
     "heun": _make_rk_stepper(HEUN),
     "rk4": _make_rk_stepper(RK4),
+    "bosh3": _make_rk_stepper(BOSH3),
     "dopri5": _make_dopri5_fsal(),
     "dopri5_nofsal": _make_rk_stepper(DOPRI5),
     "reversible_heun": _make_reversible_heun(),
