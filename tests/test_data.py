@@ -1,0 +1,66 @@
+"""Input pipeline: prefetching coefficient dataloader."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import torchcde_tpu as tc
+from torchcde_tpu.data import CoefficientDataLoader
+
+rng = np.random.default_rng(43)
+
+
+def test_loader_matches_direct_coefficients():
+    x = rng.standard_normal((20, 15, 3)).astype(np.float32)
+    y = rng.random(20).astype(np.float32)
+    loader = CoefficientDataLoader(x, y, batch_size=8, interpolation="hermite",
+                                   shuffle=False)
+    assert len(loader) == 2
+    batches = list(loader)
+    assert len(batches) == 2
+    direct = np.asarray(
+        tc.hermite_cubic_coefficients_with_backward_differences(jnp.asarray(x))
+    )
+    for i, (coeffs, labels) in enumerate(batches):
+        sl = slice(i * 8, (i + 1) * 8)
+        assert np.allclose(np.asarray(coeffs), direct[sl], atol=1e-5)
+        assert np.allclose(np.asarray(labels), y[sl])
+
+
+def test_loader_nan_cubic_and_shuffle():
+    x = rng.standard_normal((16, 12, 2))
+    x[rng.random(x.shape) < 0.2] = np.nan
+    y = rng.random(16)
+    loader = CoefficientDataLoader(x, y, batch_size=4, interpolation="cubic",
+                                   shuffle=True, seed=1)
+    seen = 0
+    for coeffs, labels in loader:
+        assert coeffs.shape == (4, 11, 8)
+        assert np.isfinite(np.asarray(coeffs)).all()
+        seen += 1
+    assert seen == 4
+
+
+def test_loader_end_to_end_training_batch():
+    x = rng.standard_normal((8, 10, 3)).astype(np.float32)
+    y = (rng.random(8) > 0.5).astype(np.float32)
+    loader = CoefficientDataLoader(x, y, batch_size=8, interpolation="hermite")
+    (coeffs, labels), = list(loader)
+    X = tc.CubicSpline(coeffs)
+    out = tc.cdeint(
+        X,
+        lambda t, z: jnp.tanh(z)[..., None] * jnp.ones((8, 2, 3), jnp.float32),
+        jnp.zeros((8, 2), jnp.float32),
+        X.interval,
+        adjoint=False,
+        method="rk4",
+    )
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_loader_validation():
+    x = rng.standard_normal((8, 10, 3))
+    with pytest.raises(ValueError):
+        CoefficientDataLoader(x, rng.random(7), batch_size=4)
+    with pytest.raises(ValueError):
+        CoefficientDataLoader(x, rng.random(8), batch_size=4, interpolation="spline")

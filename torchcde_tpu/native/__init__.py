@@ -106,6 +106,12 @@ def _batched_call(name, t, x, out_last_dim_factor=1, out_rows_delta=0, n_threads
     lib = _load()
     x = np.ascontiguousarray(x)
     t = np.ascontiguousarray(t, dtype=x.dtype)
+    if t.shape != (x.shape[-2],):
+        # The C++ kernels trust shapes; validate here or they read OOB.
+        raise ValueError(
+            f"t must be 1-D with length {x.shape[-2]} (the data's time "
+            f"dimension); got shape {t.shape}"
+        )
     L, C = x.shape[-2], x.shape[-1]
     n = int(np.prod(x.shape[:-2], dtype=np.int64)) if x.ndim > 2 else 1
     out_shape = x.shape[:-2] + (L + out_rows_delta, C * out_last_dim_factor)
