@@ -18,8 +18,27 @@ from .interpolation import (
     natural_cubic_coeffs,
     natural_cubic_spline_coeffs,
 )
+from .log_ode import logsig_windows, logsignature_windows
+from .solvers import SolverConfig, cdeint
 from .utils import TupleControl
 
 __version__ = "0.1.0"
-from .solvers import cdeint, SolverConfig
-from .log_ode import logsig_windows, logsignature_windows
+
+# The reference's public surface (torchcde/__init__.py:1-9) plus the
+# framework's own additions (SolverConfig).
+__all__ = [
+    "CubicSpline",
+    "InterpolationBase",
+    "LinearInterpolation",
+    "NaturalCubicSpline",
+    "SolverConfig",
+    "TupleControl",
+    "cdeint",
+    "hermite_cubic_coefficients_with_backward_differences",
+    "linear_interpolation_coeffs",
+    "logsig_windows",
+    "logsignature_windows",
+    "natural_cubic_coeffs",
+    "natural_cubic_spline_coeffs",
+    "__version__",
+]
