@@ -1,13 +1,16 @@
 """The ODE integration driver.
 
 Native replacement for the torchdiffeq/torchsde delegation at
-/root/reference/torchcde/solver.py:224-232.  Integration proceeds output
-interval by output interval (an outer ``lax.scan`` over (ts[i], ts[i+1]));
-within an interval a fixed-step method takes exact clamped steps and an
-adaptive method (dopri5) runs a PI(-ish) step controller inside a bounded,
-reverse-differentiable while loop.  Every output time is hit exactly, so no
-dense-output interpolant is needed; solutions carry the time axis leading and
-``cdeint`` moves it to second-to-last (reference solver.py:234-243).
+/root/reference/torchcde/solver.py:224-232.  Fixed-step methods proceed output
+interval by output interval (an outer ``lax.scan`` over (ts[i], ts[i+1])) and
+hit every output time exactly.  Adaptive methods (dopri5, bosh3) instead run
+ONE continuous PI-controlled integration from ts[0] to ts[-1] inside a
+bounded, reverse-differentiable while loop; output times are produced from a
+4th-order dense-output interpolant of each accepted step (masked vectorised
+writes), so the accepted-step sequence — and hence NFE — is independent of
+``len(ts)``, matching the torchdiffeq capability the reference consumes.
+Solutions carry the time axis leading and ``cdeint`` moves it to
+second-to-last (reference solver.py:234-243).
 
 Step counts: when ``ts`` / ``step_size`` are concrete (the overwhelmingly
 common case — with default grids the control's times are constants even under
@@ -130,6 +133,85 @@ def _while(cond, body, init, max_steps, differentiable):
     return jax.lax.while_loop(cond2, body2, (0, init))[1]
 
 
+# p(theta) = z0 + dt*f0*theta + c2*theta^2 + c3*theta^3 + c4*theta^4 with
+# p(1) = z1, p'(1) = dt*f1, p(1/2) = y_mid: the 3x3 system for (c4, c3, c2)
+# is the same for every step, so its inverse is a compile-time constant.
+_QUARTIC_MINV = np.linalg.inv(
+    np.array([[1.0, 1.0, 1.0], [4.0, 3.0, 2.0], [1 / 16, 1 / 8, 1 / 4]])
+)
+
+
+def _interp_quartic(z0, z1, f0, f1, y_mid, dt, theta):
+    """Evaluate the quartic dense-output polynomial at every theta (1-D array);
+    leaf results gain a leading len(theta) axis."""
+    m = _QUARTIC_MINV
+
+    def leaf(z0l, z1l, f0l, f1l, yml):
+        th = theta.reshape(theta.shape + (1,) * z0l.ndim)
+        rA = z1l - z0l - dt * f0l
+        rB = dt * (f1l - f0l)
+        rC = yml - z0l - 0.5 * dt * f0l
+        c4 = m[0, 0] * rA + m[0, 1] * rB + m[0, 2] * rC
+        c3 = m[1, 0] * rA + m[1, 1] * rB + m[1, 2] * rC
+        c2 = m[2, 0] * rA + m[2, 1] * rB + m[2, 2] * rC
+        return z0l + th * (dt * f0l + th * (c2 + th * (c3 + th * c4)))
+
+    return _tree_map(leaf, z0, z1, f0, f1, y_mid)
+
+
+def _integrate_adaptive_dense(rhs, z0, ts, dt0, state0, cfg, stepper, max_steps,
+                              jump_t, differentiable):
+    """One continuous adaptive solve over [ts[0], ts[-1]] with dense output.
+
+    Each accepted step writes the 4th-order interpolant into every output row
+    whose time falls inside (t, t + dt]; the controller never clamps to output
+    times (only to ts[-1] and to jump_t discontinuities), so NFE does not grow
+    with len(ts).  Returns (out, (attempted, accepted)) with out time-leading.
+    """
+    t_end = ts[-1]
+    n_out = ts.shape[0]
+    out0 = _tree_map(lambda z: jnp.broadcast_to(z[None], (n_out,) + z.shape), z0)
+
+    def cond(carry):
+        t = carry[0]
+        return t < t_end
+
+    def body(carry):
+        t, z, dt, state, counts, out = carry
+        attempted, accepted_n = counts
+        dt = jnp.maximum(dt, 1e-14)
+        dt_clamped = jnp.minimum(dt, t_end - t)
+        if jump_t is not None:
+            # Land exactly on derivative discontinuities (the torchdiffeq
+            # options={'jump_t': ...} capability, reference README.md:240-249).
+            dt_clamped = jnp.minimum(dt_clamped, _next_jump(jump_t, t) - t)
+        z1, err, state1, (f0, f1, y_mid) = stepper.step_dense(rhs, t, z, dt_clamped, state)
+        ratio = _error_ratio(err, cfg.rtol, cfg.atol, z, z1)
+        accept = ratio <= 1.0
+        t_new = jnp.where(accept, t + dt_clamped, t)
+        z_new = tree_select(accept, z1, z)
+        state_new = tree_select(accept, state1, state)
+        dt_new = dt_clamped * _optimal_factor(ratio, stepper.order, cfg, accept)
+        # If the step was only short because it was clamped to the interval
+        # end (or a jump), don't let that shrink the carried proposal.
+        was_clamped = dt_clamped < dt
+        dt_new = jnp.where(accept & was_clamped, jnp.maximum(dt, dt_new), dt_new)
+        emit = accept & (ts > t) & (ts <= t + dt_clamped)
+        theta = jnp.clip((ts - t) / jnp.maximum(dt_clamped, 1e-30), 0.0, 1.0)
+        vals = _interp_quartic(z, z1, f0, f1, y_mid, dt_clamped, theta)
+        out = _tree_map(
+            lambda o, v: jnp.where(emit.reshape(emit.shape + (1,) * (o.ndim - 1)), v, o),
+            out, vals,
+        )
+        counts = (attempted + 1, accepted_n + accept.astype(jnp.int32))
+        return (t_new, z_new, dt_new, state_new, counts, out)
+
+    zero = jnp.zeros((), jnp.int32)
+    carry = (ts[0], z0, dt0, state0, (zero, zero), out0)
+    final = _while(cond, body, carry, max_steps, differentiable)
+    return final[5], final[4]
+
+
 def _advance_adaptive(rhs, z0, t0, t1, dt0, state0, cfg, stepper, max_steps, jump_t,
                       differentiable):
     """Adaptive stepping from t0 to exactly t1.  Returns (z1, dt_next, state1)."""
@@ -175,15 +257,18 @@ def _advance_fixed(rhs, z0, t0, t1, step_size, state0, stepper, max_steps, diffe
         # State-free (plain RK) steppers: a straight lax.scan with dt clamped
         # to [0, t1 - t].  Padding iterations (dt = 0) are exact identities
         # (z1 = z + 0 * ...), so no cond/while bookkeeping is needed — the
-        # cheapest possible loop for the hot fixed-step path.
+        # cheapest possible loop for the hot fixed-step path.  Only dt > 0
+        # iterations count as steps (padding is an artifact of the bound).
         def body(carry, _):
-            t, z = carry
+            t, z, n = carry
             dt = jnp.clip(t1 - t, 0.0, step_size)
             z1, _err, _state = stepper.step(rhs, t, z, dt, None)
-            return (t + dt, z1), None
+            return (t + dt, z1, n + (dt > 0).astype(jnp.int32)), None
 
-        (_t, z_final), _ = jax.lax.scan(body, (t0, z0), None, length=max_steps)
-        return z_final, None, jnp.asarray(max_steps, jnp.int32)
+        (_t, z_final, n_steps), _ = jax.lax.scan(
+            body, (t0, z0, jnp.zeros((), jnp.int32)), None, length=max_steps
+        )
+        return z_final, None, n_steps
 
     def cond(carry):
         t, _z, _state, _n = carry
@@ -244,6 +329,24 @@ def odeint(rhs, z0, ts, cfg: SolverConfig, jump_t=None, differentiable=True,
         init_nfe += 2  # initial-step-size heuristic
         max_steps = cfg.max_steps or _ADAPTIVE_DEFAULT_MAX_STEPS
 
+        if stepper.step_dense is not None:
+            # Continuous solve + dense output: NFE independent of len(ts).
+            out, (attempted, accepted) = _integrate_adaptive_dense(
+                rhs, z0, jnp.asarray(ts), dt0, state0, cfg, stepper, max_steps,
+                jump_t, differentiable,
+            )
+            if not collect_stats:
+                return out
+            return out, {
+                "steps_attempted": attempted,
+                "steps_accepted": accepted,
+                "steps_rejected": attempted - accepted,
+                "nfe": init_nfe + attempted * stages,
+            }
+
+        # Adaptive stepper without a dense-output form: restart at every
+        # output time (the pre-dense fallback; exact but NFE grows with
+        # len(ts)).
         def advance(z, t0, t1, dt, state):
             return _advance_adaptive(
                 rhs, z, t0, t1, dt, state, cfg, stepper, max_steps, jump_t,

@@ -118,11 +118,61 @@ def rk_step(tableau: ButcherTableau, rhs, t0, z0, dt):
     return z1, err
 
 
+def _solve_dense_midpoint(tableau: ButcherTableau):
+    """Weights b(1/2) of a 4th-order continuous extension of the tableau.
+
+    A continuous RK extension z(t0 + theta*dt) = z0 + dt * sum_i b_i(theta) k_i
+    is 4th-order accurate iff the theta-dependent rooted-tree conditions hold
+    through order 4.  Rather than hardcoding anyone's published interpolant we
+    solve those eight conditions at theta = 1/2 directly (float64 lstsq; the
+    system is consistent for Dormand–Prince-class tableaus).  Returns None if
+    the conditions cannot be met, in which case callers fall back to a cubic
+    Hermite midpoint.
+    """
+    s = len(tableau.c_sol)
+    c = np.zeros(s)
+    c[1 : 1 + len(tableau.alpha)] = tableau.alpha
+    A = np.zeros((s, s))
+    for i, row in enumerate(tableau.beta):
+        A[i + 1, : len(row)] = row
+    Ac, Ac2, AAc = A @ c, A @ (c * c), A @ (A @ c)
+    M = np.stack([np.ones(s), c, c * c, Ac, c**3, c * Ac, Ac2, AAc])
+    th = 0.5
+    rhs = np.array([th, th**2 / 2, th**3 / 3, th**3 / 6,
+                    th**4 / 4, th**4 / 8, th**4 / 12, th**4 / 24])
+    bmid, *_ = np.linalg.lstsq(M, rhs, rcond=None)
+    if np.abs(M @ bmid - rhs).max() > 1e-10:
+        return None
+    return tuple(float(b) for b in bmid)
+
+
+def _is_fsal(tableau: ButcherTableau) -> bool:
+    """True when the last stage is f(t + dt, z1): alpha ends at 1 and the last
+    A row equals b, so ks[-1] doubles as the derivative at the step's end."""
+    if not tableau.alpha or tableau.alpha[-1] != 1.0:
+        return False
+    last = tableau.beta[-1]
+    return all(
+        b == (last[j] if j < len(last) else 0.0) for j, b in enumerate(tableau.c_sol[:-1])
+    ) and tableau.c_sol[-1] == 0.0
+
+
+def _hermite_midpoint(z0, z1, f0, f1, dt):
+    """Cubic-Hermite value at theta = 1/2 (3rd-order fallback midpoint)."""
+    return jax.tree_util.tree_map(
+        lambda a, b, fa, fb: 0.5 * (a + b) + 0.125 * dt * (fa - fb), z0, z1, f0, f1
+    )
+
+
 class Stepper(NamedTuple):
     init: Callable  # (rhs, t0, z0) -> state
     step: Callable  # (rhs, t, z, dt, state) -> (z1, err_or_None, state1)
     order: int
     adaptive: bool
+    # (rhs, t, z, dt, state) -> (z1, err, state1, (f0, f1, y_mid)) — the extra
+    # triple feeds the quartic dense-output fit in integrate.py.  None when the
+    # method cannot expose end-of-step derivatives for free.
+    step_dense: Optional[Callable] = None
 
 
 def _make_rk_stepper(tableau: ButcherTableau) -> Stepper:
@@ -133,7 +183,27 @@ def _make_rk_stepper(tableau: ButcherTableau) -> Stepper:
         z1, err = rk_step(tableau, rhs, t, z, dt)
         return z1, err, None
 
-    return Stepper(init=init, step=step, order=tableau.order, adaptive=tableau.c_error is not None)
+    step_dense = None
+    if tableau.c_error is not None and _is_fsal(tableau):
+        bmid = _solve_dense_midpoint(tableau)
+
+        def step_dense(rhs, t, z, dt, state):
+            ks = [rhs(t, z)]
+            for alpha_i, beta_i in zip(tableau.alpha, tableau.beta):
+                zi = tree_axpy(dt, _weighted_sum(beta_i, ks), z)
+                ks.append(rhs(t + alpha_i * dt, zi))
+            z1 = tree_axpy(dt, _weighted_sum(tableau.c_sol, ks), z)
+            err = tree_scale(dt, _weighted_sum(tableau.c_error, ks))
+            if bmid is not None:
+                y_mid = tree_axpy(dt, _weighted_sum(bmid, ks), z)
+            else:
+                y_mid = _hermite_midpoint(z, z1, ks[0], ks[-1], dt)
+            return z1, err, None, (ks[0], ks[-1], y_mid)
+
+    return Stepper(
+        init=init, step=step, order=tableau.order,
+        adaptive=tableau.c_error is not None, step_dense=step_dense,
+    )
 
 
 def _make_dopri5_fsal() -> Stepper:
@@ -145,11 +215,12 @@ def _make_dopri5_fsal() -> Stepper:
     integrate.py falls back to the stateless variant when jump_t is given.
     """
     tab = DOPRI5
+    bmid = _solve_dense_midpoint(tab)
 
     def init(rhs, t0, z0):
         return rhs(t0, z0)
 
-    def step(rhs, t, z, dt, k1):
+    def _stages(rhs, t, z, dt, k1):
         ks = [k1]
         for alpha_i, beta_i in zip(tab.alpha, tab.beta):
             ti = t + alpha_i * dt
@@ -157,9 +228,19 @@ def _make_dopri5_fsal() -> Stepper:
             ks.append(rhs(ti, zi))
         z1 = tree_axpy(dt, _weighted_sum(tab.c_sol, ks), z)
         err = tree_scale(dt, _weighted_sum(tab.c_error, ks))
+        return ks, z1, err
+
+    def step(rhs, t, z, dt, k1):
+        ks, z1, err = _stages(rhs, t, z, dt, k1)
         return z1, err, ks[-1]
 
-    return Stepper(init=init, step=step, order=tab.order, adaptive=True)
+    def step_dense(rhs, t, z, dt, k1):
+        ks, z1, err = _stages(rhs, t, z, dt, k1)
+        y_mid = tree_axpy(dt, _weighted_sum(bmid, ks), z)
+        return z1, err, ks[-1], (ks[0], ks[-1], y_mid)
+
+    return Stepper(init=init, step=step, order=tab.order, adaptive=True,
+                   step_dense=step_dense)
 
 
 def _make_reversible_heun() -> Stepper:
