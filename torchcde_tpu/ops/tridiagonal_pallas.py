@@ -1,12 +1,27 @@
-"""Pallas TPU kernel: batched Thomas tridiagonal solve.
+"""Pallas TPU kernel: batched tridiagonal solve via in-VMEM PCR+Thomas hybrid.
 
 The natural-cubic-spline fit's hot kernel (SURVEY.md section 3.3; reference
 misc.py:13-67 runs the same recurrence as a Python loop).  Layout is
-(length, batch): the length dimension is the sequential recurrence, the batch
-dimension rides the 128 VPU lanes, and each grid step owns one 128-wide lane
-block resident in VMEM — the forward sweep and back-substitution each touch
-VMEM only, so HBM sees exactly one read of the system and one write of the
-solution.
+(length, batch): the batch dimension rides the VPU lanes and each grid step
+owns one lane block resident in VMEM, so HBM sees exactly one read of the
+system and one write of the solution.
+
+A plain Thomas sweep is sequential in the length k: 2k loop iterations each
+touching a single (1, W) row — at most one VPU sublane of useful work per
+iteration, which is why the naive kernel sat at ~2% of HBM bandwidth.  The
+hybrid instead runs log2(G) levels of parallel cyclic reduction over the WHOLE
+(k, W) block (every level is a handful of full-block vector ops, perfectly
+lane- and sublane-parallel), after which rows only couple at stride G: the
+system splits into G independent interleaved subsystems of length m = k / G.
+Element q of subsystem j is row q*G + j, so the q-th *contiguous* slab of G
+rows holds element q of every subsystem, and a Thomas sweep over slabs
+finishes the solve in 2m iterations of fat (G, W) vector ops.  Sequential
+depth drops from 2k thin rows to log2(G) block passes + 2m slab passes.
+
+Lengths above the single-block VMEM cap are handled by running PCR pre-levels
+at the XLA level (identical elimination math, one fused HBM pass per level)
+until the interleaved subsystems fit the kernel, then folding the interleave
+factor into the batch dimension.
 
 Differentiable via custom_vjp: for x = A^{-1} b,
     grad_b = A^{-T} g            (one more tridiagonal solve, swapped bands)
@@ -24,110 +39,246 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _LANES = 128
-# VMEM holds ~7 arrays of (K, 128) f32; cap K so they fit in ~16MB.
-MAX_PALLAS_LENGTH = 2048
+# Single-block cap on the length dimension: beyond this the live (k, 128) f32
+# arrays (5 VMEM blocks + ~13 PCR temporaries held by Mosaic, measured from
+# scoped-vmem sizes) outgrow the 16MB VMEM, and XLA-level PCR pre-splitting
+# takes over.
+MAX_KERNEL_LENGTH = 1024
+# Lane-block budget in elements per array: ~24 live (k, tile) f32 arrays
+# (5 blocks + 3 scratch + PCR temporaries) within ~14MB.
+_VMEM_ELEM_BUDGET = 14 * 1024 * 1024 // (24 * 4)
 
 
-def _thomas_kernel(d_ref, b_ref, u_ref, l_ref, out_ref, nd_ref, nb_ref):
-    k = d_ref.shape[0]
+def _choose_gsize(k):
+    """Interleave factor G: PCR runs log2(G) levels, Thomas runs k/G slabs.
 
-    def row(ref, i):
-        return ref[pl.ds(i, 1), :]  # (1, 128): keeps every op 2-D for Mosaic
+    More PCR levels cost ~18 full-block vector ops each; more slabs cost loop
+    overhead on thinner work.  Aiming the slab count m at ~16 balances the two
+    on current TPUs (measured flat within ~15% for m in 8..32 at k = 512).
+    """
+    if k <= 16:
+        return 1
+    g = 1 << max(3, int(round(np.log2(max(k // 16, 8)))))
+    return int(min(g, 256, 1 << int(np.floor(np.log2(k)))))
 
-    nd_ref[pl.ds(0, 1), :] = row(d_ref, 0)
-    nb_ref[pl.ds(0, 1), :] = row(b_ref, 0)
 
-    # Forward sweep carries the previous pivot row in registers, so each
-    # iteration reads each input row exactly once.
-    def fwd(i, carry):
-        prev_nd, prev_nb = carry
-        w = row(l_ref, i - 1) / prev_nd
-        nd = row(d_ref, i) - w * row(u_ref, i - 1)
-        nb = row(b_ref, i) - w * prev_nb
-        nd_ref[pl.ds(i, 1), :] = nd
-        nb_ref[pl.ds(i, 1), :] = nb
-        return nd, nb
+def _pcr_thomas_kernel(d_ref, b_ref, u_ref, l_ref, out_ref, sd_ref, su_ref,
+                       sl_ref, *, gsize):
+    """In-VMEM hybrid solve of one (k, W) block.
 
-    first = (row(d_ref, 0), row(b_ref, 0))
-    jax.lax.fori_loop(1, k, fwd, first)
+    Convention: lo[i] couples row i to row i - stride (lo[0..stride) = 0) and
+    up[i] couples row i to row i + stride (tail zeros), where stride doubles
+    each PCR level starting at 1.
 
-    x_last = row(nb_ref, k - 1) / row(nd_ref, k - 1)
-    out_ref[pl.ds(k - 1, 1), :] = x_last
+    Intermediate state lands in the s*_ref scratch buffers, NEVER in the input
+    blocks: writing an input ref makes Pallas alias it as an output, and under
+    a fused jit program XLA then updates the donor HBM buffer in place — a
+    second solve sharing those operands (e.g. the transpose solve inside the
+    custom VJP) would read the eliminated bands instead of the originals.
+    """
+    k, w = d_ref.shape
+    d = d_ref[:, :]
+    b = b_ref[:, :]
+    up = u_ref[:, :]
+    lo = l_ref[:, :]
+
+    levels = int(np.log2(gsize))
+    if levels:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (k, w), 0)
+        s = 1
+        for _ in range(levels):
+            # dn(x)[i] = x[i - s], up_(x)[i] = x[i + s]; rolls wrap, but the
+            # wrapped rows are exactly the has_up/has_dn-masked ones.
+            dn = lambda x: pltpu.roll(x, s, axis=0)
+            up_ = lambda x: pltpu.roll(x, k - s, axis=0)
+            has_up = rows >= s
+            has_dn = rows < k - s
+            alpha = jnp.where(has_up, -lo / dn(d), 0.0)
+            beta = jnp.where(has_dn, -up / up_(d), 0.0)
+            d = d + alpha * dn(up) + beta * up_(lo)
+            b = b + alpha * dn(b) + beta * up_(b)
+            lo = alpha * dn(lo)
+            up = beta * up_(up)
+            s *= 2
+
+    # Rows now couple only at stride gsize: slab q = rows [q*G, (q+1)*G) holds
+    # element q of every interleaved subsystem.  Park the PCR output in the
+    # scratch buffers (b in out_ref) and Thomas-sweep over slabs, carrying the
+    # previous pivot slab in registers.
+    sd_ref[:, :] = d
+    out_ref[:, :] = b
+    su_ref[:, :] = up
+    sl_ref[:, :] = lo
+    m = k // gsize
+
+    def slab(ref, q):
+        return ref[pl.ds(q * gsize, gsize), :]
+
+    def fwd(q, carry):
+        prev_d, prev_b, prev_u = carry
+        wq = slab(sl_ref, q) / prev_d
+        nd = slab(sd_ref, q) - wq * prev_u
+        nb = slab(out_ref, q) - wq * prev_b
+        sd_ref[pl.ds(q * gsize, gsize), :] = nd
+        out_ref[pl.ds(q * gsize, gsize), :] = nb
+        return nd, nb, slab(su_ref, q)
+
+    init = (slab(sd_ref, 0), slab(out_ref, 0), slab(su_ref, 0))
+    jax.lax.fori_loop(1, m, fwd, init)
+
+    x_last = slab(out_ref, m - 1) / slab(sd_ref, m - 1)
+    out_ref[pl.ds((m - 1) * gsize, gsize), :] = x_last
 
     def bwd(j, x_next):
-        i = k - 2 - j
-        x = (row(nb_ref, i) - row(u_ref, i) * x_next) / row(nd_ref, i)
-        out_ref[pl.ds(i, 1), :] = x
+        q = m - 2 - j
+        x = (slab(out_ref, q) - slab(su_ref, q) * x_next) / slab(sd_ref, q)
+        out_ref[pl.ds(q * gsize, gsize), :] = x
         return x
 
-    jax.lax.fori_loop(0, k - 1, bwd, x_last)
+    jax.lax.fori_loop(0, m - 1, bwd, x_last)
 
 
-def _tile_width(k, n):
-    """Widest batch tile that divides n and whose ~7 (k, tile) f32 buffers
-    fit in VMEM; wider tiles fill more VPU sublanes per recurrence row."""
-    budget = 12 * 1024 * 1024 // (7 * 4 * max(k, 1))  # lane columns in budget
+def _lane_tile(k, n):
+    """Widest batch tile that divides n and fits the VMEM element budget."""
     tile = _LANES
+    budget = max(_VMEM_ELEM_BUDGET // max(k, 1), _LANES)
     while tile * 2 <= budget and n % (tile * 2) == 0 and tile < 2048:
         tile *= 2
     return tile
 
 
-def _thomas_pallas_2d(d, b, u, l):
-    """Solve for (k, n) arrays (length-major, batch in lanes); n % 128 == 0."""
+@partial(jax.jit, static_argnames=("interpret",))
+def _pallas_block_solve(d, b, u, l, interpret=False):
+    """Solve for (k, n) arrays (length-major, batch in lanes); n % 128 == 0,
+    k a multiple of the chosen interleave factor."""
     k, n = d.shape
-    tile = _tile_width(k, n)
-    grid = (n // tile,)
+    gsize = _choose_gsize(k)
+    tile = _lane_tile(k, n)
     spec = pl.BlockSpec((k, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _thomas_kernel,
+        partial(_pcr_thomas_kernel, gsize=gsize),
         out_shape=jax.ShapeDtypeStruct((k, n), d.dtype),
-        grid=grid,
+        grid=(n // tile,),
         in_specs=[spec, spec, spec, spec],
         out_specs=spec,
         scratch_shapes=[
             pltpu.VMEM((k, tile), d.dtype),
             pltpu.VMEM((k, tile), d.dtype),
+            pltpu.VMEM((k, tile), d.dtype),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=8 * k * n, bytes_accessed=5 * 4 * k * n, transcendentals=0
+            flops=(18 * int(np.log2(max(gsize, 1))) + 8) * k * n,
+            bytes_accessed=5 * 4 * k * n,
+            transcendentals=0,
         ),
+        interpret=interpret,
     )(d, b, u, l)
 
 
-def _solve_flat(b, u, d, l):
+def _xla_pcr_level(d, b, up, lo, s):
+    """One PCR elimination level on (..., k)-last arrays (stride s).
+
+    Same math as the kernel's in-VMEM levels; used to pre-split systems whose
+    length exceeds the single-block cap.  lo[i] couples row i to i - s, up[i]
+    couples row i to i + s.
+    """
+    k = d.shape[-1]
+
+    def down(x):  # value from row i - s, zero past the boundary
+        return jnp.concatenate([jnp.zeros_like(x[..., :s]), x[..., :-s]], axis=-1)
+
+    def upx(x):  # value from row i + s, zero past the boundary
+        return jnp.concatenate([x[..., s:], jnp.zeros_like(x[..., :s])], axis=-1)
+
+    idx = jax.lax.broadcasted_iota(jnp.int32, (k,), 0)
+    alpha = jnp.where(idx >= s, -lo / down(d), 0.0)
+    beta = jnp.where(idx < k - s, -up / upx(d), 0.0)
+    d2 = d + alpha * down(up) + beta * upx(lo)
+    b2 = b + alpha * down(b) + beta * upx(b)
+    return d2, b2, beta * upx(up), alpha * down(lo)
+
+
+def _solve_padded(d, b, up, lo, interpret=False):
+    """d, b, up, lo: (N, k) with per-row coupling convention (lo[:, 0] = 0,
+    up[:, -1] = 0) and N a multiple of 128.  Returns x (N, k)."""
+    n, k = d.shape
+
+    n_pre = 0
+    while (k >> n_pre) > MAX_KERNEL_LENGTH:
+        n_pre += 1
+    if n_pre:
+        # Pre-split at the XLA level: after n_pre PCR levels rows couple at
+        # stride 2^n_pre, so the residue classes are independent systems that
+        # fold into the batch dimension.
+        split = 1 << n_pre
+        pad = (-k) % split
+        if pad:
+            d = jnp.concatenate([d, jnp.ones((n, pad), d.dtype)], axis=-1)
+            zpad = jnp.zeros((n, pad), d.dtype)
+            b = jnp.concatenate([b, zpad], axis=-1)
+            up = jnp.concatenate([up, zpad], axis=-1)
+            lo = jnp.concatenate([lo, zpad], axis=-1)
+        s = 1
+        for _ in range(n_pre):
+            d, b, up, lo = _xla_pcr_level(d, b, up, lo, s)
+            s *= 2
+        kp = d.shape[-1]
+        m = kp // split
+
+        def fold(x):  # (N, k) -> (N * split, m): subsystem j is row q*split+j
+            return x.reshape(n, m, split).swapaxes(-1, -2).reshape(n * split, m)
+
+        x = _solve_padded(fold(d), fold(b), fold(up), fold(lo), interpret)
+        x = x.reshape(n, split, m).swapaxes(-1, -2).reshape(n, kp)
+        return x[:, :k] if pad else x
+
+    gsize = _choose_gsize(k)
+    pad = (-k) % max(gsize, 1)
+    if pad:
+        # Identity padding rows (d=1, couplings and rhs 0) decouple exactly:
+        # PCR never propagates real couplings into them (the last real row's
+        # upper coupling is zero and stays zero inductively).
+        d = jnp.concatenate([d, jnp.ones((n, pad), d.dtype)], axis=-1)
+        zpad = jnp.zeros((n, pad), d.dtype)
+        b = jnp.concatenate([b, zpad], axis=-1)
+        up = jnp.concatenate([up, zpad], axis=-1)
+        lo = jnp.concatenate([lo, zpad], axis=-1)
+    x = _pallas_block_solve(d.T, b.T, up.T, lo.T, interpret=interpret).T
+    return x[:, :k] if pad else x
+
+
+def _solve_flat(b, u, d, l, interpret=False):
     """b, d: (N, k); u, l: (N, k - 1).  Returns x (N, k)."""
     n, k = b.shape
     zeros = jnp.zeros((n, 1), dtype=b.dtype)
-    u_p = jnp.concatenate([u, zeros], axis=-1)
-    l_p = jnp.concatenate([l, zeros], axis=-1)  # l_p[i] couples row i+1 to i
+    up = jnp.concatenate([u, zeros], axis=-1)  # up[i] couples row i to i+1
+    lo = jnp.concatenate([zeros, l], axis=-1)  # lo[i] couples row i to i-1
 
     pad = (-n) % _LANES
-    ones_d = jnp.ones((pad, k), dtype=b.dtype)
-    zeros_r = jnp.zeros((pad, k), dtype=b.dtype)
-    d_f = jnp.concatenate([d, ones_d], axis=0) if pad else d
-    b_f = jnp.concatenate([b, zeros_r], axis=0) if pad else b
-    u_f = jnp.concatenate([u_p, zeros_r], axis=0) if pad else u_p
-    l_f = jnp.concatenate([l_p, zeros_r], axis=0) if pad else l_p
-
-    x = _thomas_pallas_2d(d_f.T, b_f.T, u_f.T, l_f.T).T
+    if pad:
+        d = jnp.concatenate([d, jnp.ones((pad, k), d.dtype)], axis=0)
+        zrows = jnp.zeros((pad, k), b.dtype)
+        b = jnp.concatenate([b, zrows], axis=0)
+        up = jnp.concatenate([up, zrows], axis=0)
+        lo = jnp.concatenate([lo, zrows], axis=0)
+    x = _solve_padded(d, b, up, lo, interpret)
     return x[:n] if pad else x
 
 
-@jax.custom_vjp
-def _tridiagonal_pallas(b, u, d, l):
-    return _solve_flat(b, u, d, l)
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _tridiagonal_pallas(b, u, d, l, interpret=False):
+    return _solve_flat(b, u, d, l, interpret)
 
 
-def _tp_fwd(b, u, d, l):
-    x = _solve_flat(b, u, d, l)
+def _tp_fwd(b, u, d, l, interpret):
+    x = _solve_flat(b, u, d, l, interpret)
     return x, (x, u, d, l)
 
 
-def _tp_bwd(res, g):
+def _tp_bwd(interpret, res, g):
     x, u, d, l = res
     # A^T has the bands swapped.
-    y = _solve_flat(g, l, d, u)
+    y = _solve_flat(g, l, d, u, interpret)
     grad_b = y
     grad_d = -y * x
     grad_u = -y[..., :-1] * x[..., 1:]
@@ -138,25 +289,23 @@ def _tp_bwd(res, g):
 _tridiagonal_pallas.defvjp(_tp_fwd, _tp_bwd)
 
 
-def tridiagonal_solve_pallas(b, A_upper, A_diagonal, A_lower):
+def tridiagonal_solve_pallas(b, A_upper, A_diagonal, A_lower, *, interpret=False):
     """Drop-in for ops.tridiagonal.tridiagonal_solve on TPU.
 
     Same signature/broadcast semantics as the reference misc.py:13-67:
-    b (..., k), A_upper/A_lower (..., k - 1), A_diagonal (..., k).
+    b (..., k), A_upper/A_lower (..., k - 1), A_diagonal (..., k).  Any length
+    is accepted; systems longer than the in-VMEM cap are PCR-pre-split.
+    ``interpret=True`` runs the kernel in the Pallas interpreter (any
+    backend), used by the CPU equivalence tests.
     """
     shape = jnp.broadcast_shapes(A_diagonal.shape, b.shape)
     k = shape[-1]
-    if k > MAX_PALLAS_LENGTH:
-        raise ValueError(
-            f"Pallas Thomas kernel holds the full system in VMEM; length {k} "
-            f"exceeds the {MAX_PALLAS_LENGTH} cap. Use method='pcr' or 'thomas'."
-        )
     off_shape = shape[:-1] + (k - 1,)
     b_ = jnp.broadcast_to(b, shape).reshape(-1, k)
     d_ = jnp.broadcast_to(A_diagonal, shape).reshape(-1, k)
     u_ = jnp.broadcast_to(A_upper, off_shape).reshape(-1, k - 1)
     l_ = jnp.broadcast_to(A_lower, off_shape).reshape(-1, k - 1)
-    x = _tridiagonal_pallas(b_, u_, d_, l_)
+    x = _tridiagonal_pallas(b_, u_, d_, l_, interpret)
     return x.reshape(shape)
 
 
