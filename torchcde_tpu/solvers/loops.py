@@ -12,9 +12,21 @@ and scan/cond are both reverse-differentiable.
 
 import jax
 
+# Above this budget the scan is chunked with sqrt-rematerialisation: reverse
+# AD then stores O(sqrt(max_steps)) chunk-boundary carries plus one chunk of
+# per-step residuals, instead of residuals for every padded iteration — the
+# difference between direct backprop through a 4096-step budget being usable
+# and OOMing at large batch.
+_CHECKPOINT_THRESHOLD = 128
+
 
 def bounded_while_loop(cond_fun, body_fun, init_val, max_steps):
-    """Like ``lax.while_loop`` but reverse-differentiable, bounded by ``max_steps``."""
+    """Like ``lax.while_loop`` but reverse-differentiable, bounded by ``max_steps``.
+
+    Large step budgets run as an outer scan over ``jax.checkpoint``-ed chunks
+    of ~sqrt(max_steps) iterations (values and gradients are bit-identical to
+    the flat scan; the backward pass recomputes one chunk at a time).
+    """
     if max_steps <= 0:
         raise ValueError(f"max_steps must be positive, got {max_steps}")
 
@@ -31,6 +43,21 @@ def bounded_while_loop(cond_fun, body_fun, init_val, max_steps):
         val, done = jax.lax.cond(done, skip, run, val)
         return (val, done), None
 
-    init_done = ~cond_fun(init_val)
-    (final_val, _), _ = jax.lax.scan(scan_body, (init_val, init_done), None, length=max_steps)
+    init = (init_val, ~cond_fun(init_val))
+    if max_steps <= _CHECKPOINT_THRESHOLD:
+        (final_val, _), _ = jax.lax.scan(scan_body, init, None, length=max_steps)
+        return final_val
+
+    n_inner = 1 << (((max_steps - 1).bit_length() + 1) // 2)  # ~sqrt, power of 2
+    n_outer = -(-max_steps // n_inner)
+
+    @jax.checkpoint
+    def chunk(carry):
+        carry, _ = jax.lax.scan(scan_body, carry, None, length=n_inner)
+        return carry
+
+    def outer_body(carry, _):
+        return chunk(carry), None
+
+    (final_val, _), _ = jax.lax.scan(outer_body, init, None, length=n_outer)
     return final_val
