@@ -101,3 +101,50 @@ def test_vmap_over_solve():
     batched = jax.vmap(solve)(paths)
     looped = jnp.stack([solve(paths[i]) for i in range(3)])
     assert np.allclose(np.asarray(batched), np.asarray(looped), atol=1e-12)
+
+
+def test_reversible_adjoint_many_output_times():
+    # 50 uniform output times: the interval loop must run as a scan (a single
+    # program copy, compiling in seconds) and its gradients must still equal
+    # the direct discretise-then-optimise gradients exactly.
+    path = jnp.asarray(rng.random((2, 6, 3)))
+    variable = jnp.asarray(rng.random((1, 1, 3)))
+    z0 = jnp.asarray(rng.random((2, 3)))
+    t_out = np.linspace(0.0, 5.0, 50)
+
+    def loss(adjoint, path_, v_, z0_):
+        X = torchcde_tpu.CubicSpline(torchcde_tpu.natural_cubic_coeffs(path_))
+        out = torchcde_tpu.cdeint(
+            X, _f(v_), z0_, t_out, adjoint=adjoint,
+            method="reversible_heun", step_size=0.05,
+        )
+        return jnp.sum(out ** 2)
+
+    ga = jax.jit(jax.grad(lambda *a: loss(True, *a), argnums=(0, 1, 2)))(
+        path, variable, z0
+    )
+    gd = jax.grad(lambda *a: loss(False, *a), argnums=(0, 1, 2))(path, variable, z0)
+    for a, b in zip(ga, gd):
+        assert float(jnp.max(jnp.abs(a - b))) < 1e-11
+
+
+def test_reversible_adjoint_ragged_intervals():
+    # Non-uniform per-interval step counts take the unrolled fallback; grads
+    # must still match direct differentiation.
+    path = jnp.asarray(rng.random((1, 8, 2)))
+    variable = jnp.asarray(rng.random((1, 1, 2)))
+    z0 = jnp.asarray(rng.random((1, 2)))
+    t_out = np.asarray([0.0, 0.6, 3.0, 7.0])  # 1, 3, 5 steps at h=0.8
+
+    def loss(adjoint, path_, v_, z0_):
+        X = torchcde_tpu.CubicSpline(torchcde_tpu.natural_cubic_coeffs(path_))
+        out = torchcde_tpu.cdeint(
+            X, _f(v_), z0_, t_out, adjoint=adjoint,
+            method="reversible_heun", step_size=0.8,
+        )
+        return jnp.sum(out ** 2)
+
+    ga = jax.grad(lambda *a: loss(True, *a), argnums=(0, 1, 2))(path, variable, z0)
+    gd = jax.grad(lambda *a: loss(False, *a), argnums=(0, 1, 2))(path, variable, z0)
+    for a, b in zip(ga, gd):
+        assert float(jnp.max(jnp.abs(a - b))) < 1e-11

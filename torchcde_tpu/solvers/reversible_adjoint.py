@@ -72,20 +72,35 @@ def _rev_heun(rhs, h, n_per_interval, consts, z0, ts):
     return ys
 
 
+def _interval_fwd(rhs, h, n, consts, t0, t1, y, yhat):
+    def body(j, carry):
+        y, yhat = carry
+        t = jnp.minimum(t0 + j * h, t1)
+        dt = jnp.minimum(t0 + (j + 1) * h, t1) - t
+        return _fwd_step(rhs, consts, t, dt, y, yhat)
+
+    return jax.lax.fori_loop(0, n, body, (y, yhat))
+
+
 def _forward(rhs, h, n_per_interval, consts, z0, ts):
+    if len(set(n_per_interval)) == 1:
+        # Uniform output spacing (the overwhelmingly common case): one scan
+        # over intervals instead of len(ts) unrolled program copies.
+        n = n_per_interval[0]
+
+        def interval(carry, t_pair):
+            y, yhat = _interval_fwd(rhs, h, n, consts, t_pair[0], t_pair[1], *carry)
+            return (y, yhat), (y, yhat)
+
+        _, (ys_s, yhats_s) = jax.lax.scan(interval, (z0, z0), (ts[:-1], ts[1:]))
+        cat = lambda z, s: _tree_map(lambda a, b: jnp.concatenate([a[None], b], 0), z, s)
+        return cat(z0, ys_s), cat(z0, yhats_s)
+
     y, yhat = z0, z0
     ys = [z0]
     yhats = [z0]
     for i, n in enumerate(n_per_interval):
-        t0, t1 = ts[i], ts[i + 1]
-
-        def body(j, carry):
-            y, yhat = carry
-            t = jnp.minimum(t0 + j * h, t1)
-            dt = jnp.minimum(t0 + (j + 1) * h, t1) - t
-            return _fwd_step(rhs, consts, t, dt, y, yhat)
-
-        y, yhat = jax.lax.fori_loop(0, n, body, (y, yhat))
+        y, yhat = _interval_fwd(rhs, h, n, consts, ts[i], ts[i + 1], y, yhat)
         ys.append(y)
         yhats.append(yhat)
     stack = lambda xs: _tree_map(lambda *ls: jnp.stack(ls, axis=0), *xs)
@@ -95,6 +110,45 @@ def _forward(rhs, h, n_per_interval, consts, z0, ts):
 def _rev_fwd(rhs, h, n_per_interval, consts, z0, ts):
     ys, yhats = _forward(rhs, h, n_per_interval, consts, z0, ts)
     return ys, (consts, ts, ys, yhats)
+
+
+def _interval_bwd(rhs, h, n, consts, t0, t1, y, yhat, a_y, a_yhat, a_consts, ts_dtype):
+    """Reverse one interval: reconstruct states with the inverse map and pull
+    the cotangents back through each forward step.  Returns the updated
+    adjoints plus the (ts[i-1], ts[i]) time cotangents of this interval."""
+
+    def body(jj, carry):
+        j = n - 1 - jj
+        y, yhat, a_y, a_yhat, a_consts, a_t0, a_t1 = carry
+        t = jnp.minimum(t0 + j * h, t1)
+        t_next = jnp.minimum(t0 + (j + 1) * h, t1)
+        dt = t_next - t
+        y_prev, yhat_prev = _inv_step(rhs, consts, t_next, dt, y, yhat)
+
+        def step_fn(t_, dt_, y_, yhat_, c_):
+            return _fwd_step(rhs, c_, t_, dt_, y_, yhat_)
+
+        _, pullback = jax.vjp(step_fn, t, dt, y_prev, yhat_prev, consts)
+        t_bar, dt_bar, a_y, a_yhat, ac_inc = pullback((a_y, a_yhat))
+        a_consts = _tree_map(jnp.add, a_consts, ac_inc)
+        # t = t0 + j*h unless clamped to t1; dt = t_next - t with t_next
+        # clamped to t1 on the final partial step.
+        t_clamped = (t0 + j * h) > t1
+        next_clamped = (t0 + (j + 1) * h) > t1
+        dtb_t0 = jnp.where(next_clamped, -dt_bar, 0.0) + jnp.where(
+            t_clamped, dt_bar, 0.0
+        )
+        dtb_t1 = jnp.where(next_clamped, dt_bar, 0.0) - jnp.where(
+            t_clamped, dt_bar, 0.0
+        )
+        a_t0 = a_t0 + jnp.where(t_clamped, 0.0, t_bar) + dtb_t0
+        a_t1 = a_t1 + jnp.where(t_clamped, t_bar, 0.0) + dtb_t1
+        return (y_prev, yhat_prev, a_y, a_yhat, a_consts, a_t0, a_t1)
+
+    zero = jnp.zeros((), ts_dtype)
+    out = jax.lax.fori_loop(0, n, body, (y, yhat, a_y, a_yhat, a_consts, zero, zero))
+    _y, _yhat, a_y, a_yhat, a_consts, a_t0, a_t1 = out
+    return a_y, a_yhat, a_consts, a_t0, a_t1
 
 
 def _rev_bwd(rhs, h, n_per_interval, residuals, g):
@@ -107,47 +161,38 @@ def _rev_bwd(rhs, h, n_per_interval, residuals, g):
     a_y = _tree_map(jnp.zeros_like, at_time(ys, 0))
     a_yhat = _tree_map(jnp.zeros_like, a_y)
     ts_bar = jnp.zeros_like(ts)
-
     n_out = len(n_per_interval) + 1
-    for i in range(n_out - 1, 0, -1):
-        a_y = _tree_map(jnp.add, a_y, at_time(g, i))
-        y, yhat = at_time(ys, i), at_time(yhats, i)
-        t0, t1 = ts[i - 1], ts[i]
-        n = n_per_interval[i - 1]
 
-        def body(jj, carry):
-            j = n - 1 - jj
-            y, yhat, a_y, a_yhat, a_consts, a_t0, a_t1 = carry
-            t = jnp.minimum(t0 + j * h, t1)
-            t_next = jnp.minimum(t0 + (j + 1) * h, t1)
-            dt = t_next - t
-            y_prev, yhat_prev = _inv_step(rhs, consts, t_next, dt, y, yhat)
+    if len(set(n_per_interval)) == 1:
+        n = n_per_interval[0]
+        # Iterate intervals i = n_out-1 .. 1 as one scan; each restarts from
+        # the saved output state, so no cross-interval (y, yhat) carry.
+        rev = lambda tree: _tree_map(lambda x: x[:0:-1], tree)
+        xs = (ts[:-1][::-1], ts[:0:-1], rev(g), rev(ys), rev(yhats))
 
-            def step_fn(t_, dt_, y_, yhat_, c_):
-                return _fwd_step(rhs, c_, t_, dt_, y_, yhat_)
-
-            _, pullback = jax.vjp(step_fn, t, dt, y_prev, yhat_prev, consts)
-            t_bar, dt_bar, a_y, a_yhat, ac_inc = pullback((a_y, a_yhat))
-            a_consts = _tree_map(jnp.add, a_consts, ac_inc)
-            # t = t0 + j*h unless clamped to t1; dt = t_next - t with t_next
-            # clamped to t1 on the final partial step.
-            t_clamped = (t0 + j * h) > t1
-            next_clamped = (t0 + (j + 1) * h) > t1
-            dtb_t0 = jnp.where(next_clamped, -dt_bar, 0.0) + jnp.where(
-                t_clamped, dt_bar, 0.0
+        def interval(carry, xs_i):
+            a_y, a_yhat, a_consts = carry
+            t0, t1, g_i, y_i, yhat_i = xs_i
+            a_y = _tree_map(jnp.add, a_y, g_i)
+            a_y, a_yhat, a_consts, a_t0, a_t1 = _interval_bwd(
+                rhs, h, n, consts, t0, t1, y_i, yhat_i, a_y, a_yhat, a_consts,
+                ts.dtype,
             )
-            dtb_t1 = jnp.where(next_clamped, dt_bar, 0.0) - jnp.where(
-                t_clamped, dt_bar, 0.0
-            )
-            a_t0 = a_t0 + jnp.where(t_clamped, 0.0, t_bar) + dtb_t0
-            a_t1 = a_t1 + jnp.where(t_clamped, t_bar, 0.0) + dtb_t1
-            return (y_prev, yhat_prev, a_y, a_yhat, a_consts, a_t0, a_t1)
+            return (a_y, a_yhat, a_consts), (a_t0, a_t1)
 
-        zero = jnp.zeros((), ts.dtype)
-        y, yhat, a_y, a_yhat, a_consts, a_t0, a_t1 = jax.lax.fori_loop(
-            0, n, body, (y, yhat, a_y, a_yhat, a_consts, zero, zero)
+        (a_y, a_yhat, a_consts), (a_t0s, a_t1s) = jax.lax.scan(
+            interval, (a_y, a_yhat, a_consts), xs
         )
-        ts_bar = ts_bar.at[i - 1].add(a_t0).at[i].add(a_t1)
+        ts_bar = ts_bar.at[:-1].add(a_t0s[::-1]).at[1:].add(a_t1s[::-1])
+    else:
+        for i in range(n_out - 1, 0, -1):
+            a_y = _tree_map(jnp.add, a_y, at_time(g, i))
+            a_y, a_yhat, a_consts, a_t0, a_t1 = _interval_bwd(
+                rhs, h, n_per_interval[i - 1], consts, ts[i - 1], ts[i],
+                at_time(ys, i), at_time(yhats, i), a_y, a_yhat, a_consts,
+                ts.dtype,
+            )
+            ts_bar = ts_bar.at[i - 1].add(a_t0).at[i].add(a_t1)
 
     a_y = _tree_map(jnp.add, a_y, at_time(g, 0))
     z0_bar = _tree_map(jnp.add, a_y, a_yhat)  # yhat_0 = y_0 = z0
