@@ -52,16 +52,18 @@ def _median_time(fn, iters=5):
     return float(np.median(times))
 
 
-def _chained_time(op, x, reps=8):
+def _chained_time(op, x, reps=8, extras=()):
     """Times a jitted op with a forced serial dependency between iterations
     plus a final host readback — robust against remote-backend async
-    artifacts.  ``op`` must map x -> array."""
+    artifacts.  ``op`` must map (x, *extras) -> array; pass large side inputs
+    through ``extras`` so they stay jit *arguments* (closed-over device arrays
+    are serialised as program constants by the remote-compile tunnel)."""
     import jax
     import jax.numpy as jnp
 
-    def chained(x0):
+    def chained(x0, *extras_):
         def body(carry, _):
-            y = op(carry)
+            y = op(carry, *extras_)
             bump = jnp.sum(y) * jnp.asarray(1e-20, x0.dtype)
             return x0 + bump.astype(x0.dtype), None
 
@@ -69,9 +71,9 @@ def _chained_time(op, x, reps=8):
         return final
 
     g = jax.jit(chained)
-    _force(g(x))
+    _force(g(x, *extras))
     t0 = time.perf_counter()
-    _force(g(x))
+    _force(g(x, *extras))
     return (time.perf_counter() - t0) / reps
 
 
@@ -200,12 +202,43 @@ def bench_rev_heun():
             "value": round(1e3 * t, 3), "unit": "ms"}
 
 
+def bench_seq_pcr():
+    """Sequence-sharded tridiagonal solve (distributed PCR over the mesh's
+    model axis) — the scale-out path for cubic fits whose length axis exceeds
+    one device (SURVEY.md section 5(b)).  Single-device runs fall back to a
+    1-shard mesh so the entry always reports."""
+    import jax, jax.numpy as jnp
+    from torchcde_tpu.parallel.mesh import make_mesh
+    from torchcde_tpu.parallel.seq_pcr import tridiagonal_solve_seq_sharded
+
+    n_dev = len(jax.devices())
+    model = n_dev if n_dev > 1 else 1
+    mesh = make_mesh(data=1, model=model)
+    batch, k = (2048, 8192) if jax.devices()[0].platform == "tpu" else (64, 1024)
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.standard_normal((batch, k - 1)), jnp.float32)
+    l = jnp.asarray(rng.standard_normal((batch, k - 1)), jnp.float32)
+    pad = jnp.zeros((batch, 1), jnp.float32)
+    d = 1.0 + jnp.abs(jnp.concatenate([u, pad], -1)) + jnp.abs(
+        jnp.concatenate([pad, l], -1)
+    )
+
+    def op(b, u, d, l):
+        return tridiagonal_solve_seq_sharded(b, u, d, l, mesh, axis="model")
+
+    b = jnp.asarray(rng.standard_normal((batch, k)), jnp.float32)
+    t = _chained_time(op, b, reps=4, extras=(u, d, l))
+    return {"metric": f"seq-sharded tridiagonal solve ({batch}x{k}, {model} shard(s))",
+            "value": round(1e3 * t, 3), "unit": "ms"}
+
+
 BENCHES = {
     "spiral": bench_spiral,
     "irregular": bench_irregular,
     "cubic_fit": bench_cubic_fit,
     "log_ode": bench_log_ode,
     "rev_heun": bench_rev_heun,
+    "seq_pcr": bench_seq_pcr,
 }
 
 

@@ -94,3 +94,89 @@ def test_sharded_coefficient_construction():
     x_s = jax.device_put(jnp.asarray(x), batch_sharding(mesh))
     out = jax.jit(tc.natural_cubic_coeffs)(x_s)
     assert np.allclose(np.asarray(out), ref, atol=1e-10)
+
+
+def test_seq_sharded_tridiagonal_matches_single_device():
+    """Length axis sharded over the mesh: distributed PCR == local Thomas."""
+    from torchcde_tpu.ops.tridiagonal import tridiagonal_solve_thomas
+    from torchcde_tpu.parallel.seq_pcr import tridiagonal_solve_seq_sharded
+
+    mesh = make_mesh(data=1, model=8)
+    for k in (48, 129, 1024):
+        u = jnp.asarray(rng.standard_normal((4, k - 1)))
+        l = jnp.asarray(rng.standard_normal((4, k - 1)))
+        b = jnp.asarray(rng.standard_normal((4, k)))
+        pad = jnp.zeros((4, 1))
+        d = 1.0 + jnp.abs(jnp.concatenate([u, pad], -1)) + jnp.abs(
+            jnp.concatenate([pad, l], -1)
+        )
+        ref = tridiagonal_solve_thomas(b, u, d, l)
+        got = tridiagonal_solve_seq_sharded(b, u, d, l, mesh, axis="model")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-9)
+
+
+def test_seq_and_batch_sharded_tridiagonal():
+    """Batch over 'data' AND length over 'model' simultaneously (the
+    BASELINE config-3 layout: shard both axes of the cubic-fit solve)."""
+    from torchcde_tpu.ops.tridiagonal import tridiagonal_solve_thomas
+    from torchcde_tpu.parallel.seq_pcr import tridiagonal_solve_seq_sharded
+
+    mesh = make_mesh(data=4, model=2)
+    k = 256
+    u = jnp.asarray(rng.standard_normal((8, k - 1)))
+    l = jnp.asarray(rng.standard_normal((8, k - 1)))
+    b = jnp.asarray(rng.standard_normal((8, k)))
+    pad = jnp.zeros((8, 1))
+    d = 1.0 + jnp.abs(jnp.concatenate([u, pad], -1)) + jnp.abs(
+        jnp.concatenate([pad, l], -1)
+    )
+    ref = tridiagonal_solve_thomas(b, u, d, l)
+    got = tridiagonal_solve_seq_sharded(
+        b, u, d, l, mesh, axis="model", batch_axis="data"
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-9)
+
+
+def test_tensor_parallel_custom_vector_field_rules():
+    """TP sharding of a user-defined vector field whose parameter pytree has
+    nothing named func1/func2 — via param_sharding_rules globs."""
+    from torchcde_tpu.parallel.mesh import param_sharding_rules
+
+    key = jax.random.PRNGKey(3)
+    k1, k2 = jax.random.split(key)
+    params = {
+        "lift": {"kernel": jax.random.normal(k1, (4, 32)), "bias": jnp.zeros(32)},
+        "proj": {"kernel": jax.random.normal(k2, (32, 4 * 3)) / 32.0},
+    }
+    x = rng.standard_normal((16, 12, 3))
+    coeffs = tc.hermite_cubic_coefficients_with_backward_differences(jnp.asarray(x))
+
+    def field(p):
+        def f(t, z):
+            h = jnp.tanh(z @ p["lift"]["kernel"] + p["lift"]["bias"])
+            return (h @ p["proj"]["kernel"]).reshape(z.shape[0], 4, 3)
+        return f
+
+    def loss(p, coeffs):
+        X = tc.CubicSpline(coeffs)
+        z0 = jnp.zeros((16, 4))
+        out = tc.cdeint(X, field(p), z0, X.interval, adjoint=False,
+                        method="rk4", options=dict(step_size=1.0))
+        return jnp.sum(out[:, -1] ** 2)
+
+    g_ref = jax.jit(jax.grad(loss))(params, coeffs)
+
+    mesh = make_mesh(data=4, model=2)
+    rules = (
+        ("lift/kernel", P(None, "model")),
+        ("lift/bias", P("model")),
+        ("proj/kernel", P("model", None)),
+    )
+    shardings = param_sharding_rules(mesh, params, rules)
+    # the rules actually hit: lift/kernel is sharded over model, not replicated
+    assert shardings["lift"]["kernel"].spec == P(None, "model")
+    params_s = jax.tree_util.tree_map(jax.device_put, params, shardings)
+    coeffs_s = shard_batch(mesh, coeffs)
+    g_tp = jax.jit(jax.grad(loss))(params_s, coeffs_s)
+    for a, b in zip(jax.tree_util.tree_leaves(g_tp), jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-8, atol=1e-10)

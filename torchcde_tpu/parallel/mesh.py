@@ -43,28 +43,48 @@ def shard_batch(mesh, batch):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
 
 
-def neural_cde_param_sharding(mesh, params):
-    """Tensor-parallel layout for the Neural CDE MLP vector field.
+def param_sharding_rules(mesh, params, rules, default=P()):
+    """Rule-based tensor-parallel layout for ANY parameter pytree.
 
-    func1 (hidden -> width): shard the width (output) dimension over ``model``.
-    func2 (width -> hidden*input): shard the width (input) dimension — the
-    contraction over width becomes a reduce-scatter/all-reduce XLA inserts on
-    ICI.  Everything else is replicated.
+    ``rules`` is a sequence of ``(pattern, PartitionSpec)`` pairs; each leaf's
+    path is rendered as a '/'-joined key string ("func1/w", "mlp/layers/0/
+    kernel", ...) and matched with ``fnmatch`` globs — first match wins,
+    unmatched leaves get ``default`` (replicated).  This replaces nothing in
+    the reference (it has no distributed machinery, SURVEY.md section 2); it
+    is the user-facing hook for sharding a custom vector field.
     """
+    import fnmatch
 
     def spec_for(path, leaf):
-        names = [getattr(p, "key", getattr(p, "name", None)) for p in path]
-        if "func1" in names and "w" in names:
-            return NamedSharding(mesh, P(None, "model"))
-        if "func1" in names and "b" in names:
-            return NamedSharding(mesh, P("model"))
-        if "func2" in names and "w" in names:
-            return NamedSharding(mesh, P("model", None))
-        return NamedSharding(mesh, P())
+        key = "/".join(
+            str(getattr(p, "key", getattr(p, "name", getattr(p, "idx", p))))
+            for p in path
+        )
+        for pattern, spec in rules:
+            if fnmatch.fnmatch(key, pattern):
+                return NamedSharding(mesh, spec)
+        return NamedSharding(mesh, default)
 
     return jax.tree_util.tree_map_with_path(spec_for, params)
 
 
-def place_params(mesh, params):
-    shardings = neural_cde_param_sharding(mesh, params)
+# Tensor-parallel rules for the built-in Neural CDE MLP vector field: func1
+# (hidden -> width) shards the width (output) dimension over ``model``; func2
+# (width -> hidden*input) shards the width (input) dimension, so XLA turns
+# the contraction over width into a reduce-scatter/all-reduce on ICI.
+NEURAL_CDE_TP_RULES = (
+    ("*func1/w", P(None, "model")),
+    ("*func1/b", P("model")),
+    ("*func2/w", P("model", None)),
+)
+
+
+def neural_cde_param_sharding(mesh, params, rules=NEURAL_CDE_TP_RULES):
+    """Tensor-parallel layout for the built-in Neural CDE MLP vector field
+    (or any pytree, by passing custom ``rules`` — see param_sharding_rules)."""
+    return param_sharding_rules(mesh, params, rules)
+
+
+def place_params(mesh, params, rules=NEURAL_CDE_TP_RULES):
+    shardings = param_sharding_rules(mesh, params, rules)
     return jax.tree_util.tree_map(jax.device_put, params, shardings)
