@@ -69,3 +69,66 @@ def test_log_ode_validation():
         torchcde_tpu.logsig_windows(x, 0, 2.0)
     with pytest.raises(ValueError):
         torchcde_tpu.logsig_windows(x, 2, -1.0)
+
+
+def _adjoint_params_problem():
+    # A tame, well-conditioned problem with its own rng: backsolve-adjoint
+    # gradient discrepancies stay at O(tolerance) instead of being amplified
+    # by trajectory sensitivity.
+    r = np.random.default_rng(123)
+    coeffs_raw = jnp.asarray(r.standard_normal((2, 6, 2)) * 0.5)
+    v = jnp.asarray(r.random((1, 1, 2)) * 0.5)
+    z0 = jnp.asarray(r.random((2, 3)))
+    return coeffs_raw, v, z0
+
+
+def test_adjoint_params_empty_skips_const_grads():
+    """adjoint_params=() (reference solver.py:207-222): no adjoint gradients
+    for closed-over arrays; z0 gradients are unaffected."""
+    coeffs_raw, v, z0 = _adjoint_params_problem()
+
+    def loss(coeffs_raw, v, z0, **kw):
+        X = torchcde_tpu.CubicSpline(
+            torchcde_tpu.hermite_cubic_coefficients_with_backward_differences(coeffs_raw)
+        )
+        f = lambda t, z: 0.3 * jnp.tanh(z)[..., None] + v
+        out = torchcde_tpu.cdeint(X, f, z0, X.interval, adjoint=True,
+                                  rtol=1e-7, atol=1e-9, **kw)
+        return jnp.sum(out[:, -1] ** 2)
+
+    g_full = jax.grad(loss, argnums=(0, 1, 2))(coeffs_raw, v, z0)
+    g_none = jax.grad(lambda *a: loss(*a, adjoint_params=()), argnums=(0, 1, 2))(
+        coeffs_raw, v, z0
+    )
+    assert float(jnp.max(jnp.abs(g_full[0]))) > 1e-6  # full mode really flows
+    assert float(jnp.max(jnp.abs(g_none[0]))) == 0.0
+    assert float(jnp.max(jnp.abs(g_none[1]))) == 0.0
+    # The augmented adjoint state shrinks without a_consts, changing the
+    # adaptive controller's error norm — gradients agree to O(tolerance),
+    # the backsolve adjoint's inherent accuracy.
+    np.testing.assert_allclose(
+        np.asarray(g_none[2]), np.asarray(g_full[2]), rtol=1e-3, atol=1e-5
+    )
+
+
+def test_adjoint_params_selective():
+    """Restricting adjoint_params to one closed-over tensor: it still matches
+    the direct-differentiation gradient, everything else gets zeros."""
+    coeffs_raw, v, z0 = _adjoint_params_problem()
+
+    def loss(coeffs_raw, v, z0, adjoint, restrict):
+        X = torchcde_tpu.CubicSpline(
+            torchcde_tpu.hermite_cubic_coefficients_with_backward_differences(coeffs_raw)
+        )
+        f = lambda t, z: 0.3 * jnp.tanh(z)[..., None] + v
+        kw = dict(adjoint_params=(v,)) if restrict else {}
+        out = torchcde_tpu.cdeint(X, f, z0, X.interval, adjoint=adjoint,
+                                  rtol=1e-7, atol=1e-9, **kw)
+        return jnp.sum(out[:, -1] ** 2)
+
+    g_sel = jax.grad(lambda *a: loss(*a, True, True), argnums=(0, 1))(coeffs_raw, v, z0)
+    g_dir = jax.grad(lambda *a: loss(*a, False, False), argnums=(0, 1))(coeffs_raw, v, z0)
+    assert float(jnp.max(jnp.abs(g_sel[0]))) == 0.0
+    np.testing.assert_allclose(
+        np.asarray(g_sel[1]), np.asarray(g_dir[1]), rtol=1e-3, atol=1e-5
+    )

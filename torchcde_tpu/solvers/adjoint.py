@@ -30,29 +30,58 @@ _tree_map = jax.tree_util.tree_map
 
 
 def odeint_adjoint(rhs, consts, z0, ts, cfg: SolverConfig, adjoint_cfg: SolverConfig,
-                   jump_t=None):
+                   jump_t=None, grad_mask=None):
     """Solve with O(1)-in-steps memory backprop.
 
     rhs: pure function rhs(t, z, consts); consts: pytree of arrays that should
     receive gradients.  Output has time-leading axes like ``odeint``.
+
+    ``grad_mask`` (static tuple of bools over ``consts`` entries, or None for
+    all-True) restricts which consts the backward pass integrates adjoints
+    for — the reference's explicit ``adjoint_params`` narrowing
+    (solver.py:207-222); masked-out consts get zero gradients and cost the
+    augmented solve nothing.
     """
-    return _odeint_adjoint(rhs, cfg, adjoint_cfg, consts, z0, ts, jump_t)
+    if grad_mask is not None:
+        grad_mask = tuple(bool(m) for m in grad_mask)
+    return _odeint_adjoint(rhs, cfg, adjoint_cfg, grad_mask, consts, z0, ts, jump_t)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _odeint_adjoint(rhs, cfg, adjoint_cfg, consts, z0, ts, jump_t):
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _odeint_adjoint(rhs, cfg, adjoint_cfg, grad_mask, consts, z0, ts, jump_t):
     return odeint(lambda t, z: rhs(t, z, consts), z0, ts, cfg, jump_t,
                   differentiable=False)
 
 
-def _fwd(rhs, cfg, adjoint_cfg, consts, z0, ts, jump_t):
+def _fwd(rhs, cfg, adjoint_cfg, grad_mask, consts, z0, ts, jump_t):
     zs = odeint(lambda t, z: rhs(t, z, consts), z0, ts, cfg, jump_t,
                 differentiable=False)
     return zs, (consts, z0, ts, jump_t, zs)
 
 
-def _bwd(rhs, cfg, adjoint_cfg, residuals, g):
-    consts, z0, ts, jump_t, zs = residuals
+def _bwd(rhs, cfg, adjoint_cfg, grad_mask, residuals, g):
+    all_consts, z0, ts, jump_t, zs = residuals
+    if grad_mask is None:
+        consts = all_consts
+        rebuild = lambda grads: grads
+    else:
+        # Integrate adjoints only for the masked-in consts; the rest ride
+        # along as frozen closure data and get zero cotangents.
+        consts = [c for c, m in zip(all_consts, grad_mask) if m]
+        frozen = [c for c, m in zip(all_consts, grad_mask) if not m]
+        inner_rhs = rhs
+
+        def rhs(t, z, grad_consts):
+            gi, fi = iter(grad_consts), iter(frozen)
+            full = [next(gi) if m else next(fi) for m in grad_mask]
+            return inner_rhs(t, z, full)
+
+        def rebuild(grads):
+            gi = iter(grads)
+            return [
+                next(gi) if m else jnp.zeros_like(c)
+                for c, m in zip(all_consts, grad_mask)
+            ]
     # Host (NumPy) grids must become device arrays here: the backward scan
     # indexes ts with a traced interval index.
     ts = jnp.asarray(ts)
@@ -113,7 +142,7 @@ def _bwd(rhs, cfg, adjoint_cfg, residuals, g):
 
     z0_bar = _tree_map(jnp.add, a_final, index_time(g, 0))
     jump_bar = None if jump_t is None else jnp.zeros_like(jump_t)
-    return a_consts_final, z0_bar, ts_bar, jump_bar
+    return rebuild(a_consts_final), z0_bar, ts_bar, jump_bar
 
 
 _odeint_adjoint.defvjp(_fwd, _bwd)

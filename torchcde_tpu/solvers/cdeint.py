@@ -12,10 +12,13 @@ reference's output permute at solver.py:234-243).
 Differences from the reference, by design:
 * ``backend="torchdiffeq"`` / ``"torchsde"`` are accepted as compatibility
   aliases — both route to the native steppers (``dt`` maps to ``step_size``).
-* ``adjoint_params`` is accepted but unnecessary: the adjoint pass
-  closure-converts the vector field, so gradients flow to every array the
-  field closes over (func parameters, interpolation coefficients, knot times)
-  automatically — the contract tested by reference test/test_tricks.py:21-49.
+* ``adjoint_params`` defaults to a *superset* of the reference's default: the
+  adjoint pass closure-converts the vector field, so gradients flow to every
+  array the field closes over (func parameters, interpolation coefficients,
+  knot times) automatically — the contract tested by reference
+  test/test_tricks.py:21-49.  Passing ``adjoint_params`` explicitly restricts
+  the adjoint integration to those tensors (reference solver.py:207-222),
+  e.g. ``adjoint_params=()`` skips parameter adjoints entirely.
 * Tolerance defaults match the reference: atol=1e-6, rtol=1e-4, with adjoint
   tolerances mirroring (solver.py:195-203).
 """
@@ -206,7 +209,7 @@ def cdeint(X, func, z0, t, adjoint=True, backend="native", **kwargs):
     adjoint_method = kwargs.pop("adjoint_method", method)
     adjoint_options = dict(kwargs.pop("adjoint_options", {}) or {})
     adjoint_step_size = adjoint_options.pop("step_size", step_size)
-    kwargs.pop("adjoint_params", None)  # subsumed by closure conversion
+    adjoint_params = kwargs.pop("adjoint_params", None)
     adjoint_max_steps = kwargs.pop("adjoint_max_steps", max_steps)
     if kwargs:
         warnings.warn(f"Ignoring unsupported cdeint kwargs: {sorted(kwargs)}")
@@ -273,14 +276,40 @@ def cdeint(X, func, z0, t, adjoint=True, backend="native", **kwargs):
             max_steps=adjoint_max_steps,
         )
         rhs_conv, consts = jax.closure_convert(rhs, t[0], z0)
+        consts = list(consts)
+        if adjoint_params is None:
+            # Default: every array the vector field closes over gets adjoint
+            # gradients — a superset of the reference's default
+            # (solver.py:207-222: func parameters + raw coefficient tensors).
+            grad_mask = None
+        else:
+            # Reference semantics: ONLY the listed tensors receive adjoint
+            # gradients, and the backward pass integrates nothing for the
+            # rest (a real cost/memory saving for adjoint_params=()).
+            # Matching is by Python object identity against the closed-over
+            # arrays, like the reference's tensor-identity semantics; if any
+            # requested tensor cannot be identified among the hoisted
+            # closure constants (tracing can rebind them), fall back to the
+            # full superset — gradients stay correct, only the saving is
+            # forfeited.
+            wanted = {id(p) for p in jax.tree_util.tree_leaves(adjoint_params)}
+            grad_mask = tuple(id(c) in wanted for c in consts)
+            if sum(grad_mask) < len(wanted):
+                warnings.warn(
+                    "Could not identify every adjoint_params entry among the "
+                    "arrays the vector field closes over; computing adjoint "
+                    "gradients for the full closure superset instead."
+                )
+                grad_mask = None
         out = odeint_adjoint(
             lambda s, z, c: rhs_conv(s, z, *c),
-            list(consts),
+            consts,
             z0,
             t,
             cfg,
             adjoint_cfg,
             jump_t,
+            grad_mask=grad_mask,
         )
     else:
         out = None

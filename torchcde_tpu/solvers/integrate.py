@@ -144,16 +144,18 @@ _QUARTIC_MINV = np.linalg.inv(
 def _interp_quartic(z0, z1, f0, f1, y_mid, dt, theta):
     """Evaluate the quartic dense-output polynomial at every theta (1-D array);
     leaf results gain a leading len(theta) axis."""
-    m = _QUARTIC_MINV
+    # Python floats stay weakly typed: NumPy f64 scalars would promote f32
+    # state to f64 under jax_enable_x64 and break loop-carry type invariance.
+    m = [[float(v) for v in row] for row in _QUARTIC_MINV]
 
     def leaf(z0l, z1l, f0l, f1l, yml):
-        th = theta.reshape(theta.shape + (1,) * z0l.ndim)
+        th = theta.reshape(theta.shape + (1,) * z0l.ndim).astype(z0l.dtype)
         rA = z1l - z0l - dt * f0l
         rB = dt * (f1l - f0l)
         rC = yml - z0l - 0.5 * dt * f0l
-        c4 = m[0, 0] * rA + m[0, 1] * rB + m[0, 2] * rC
-        c3 = m[1, 0] * rA + m[1, 1] * rB + m[1, 2] * rC
-        c2 = m[2, 0] * rA + m[2, 1] * rB + m[2, 2] * rC
+        c4 = m[0][0] * rA + m[0][1] * rB + m[0][2] * rC
+        c3 = m[1][0] * rA + m[1][1] * rB + m[1][2] * rC
+        c2 = m[2][0] * rA + m[2][1] * rB + m[2][2] * rC
         return z0l + th * (dt * f0l + th * (c2 + th * (c3 + th * c4)))
 
     return _tree_map(leaf, z0, z1, f0, f1, y_mid)
@@ -170,6 +172,7 @@ def _integrate_adaptive_dense(rhs, z0, ts, dt0, state0, cfg, stepper, max_steps,
     """
     t_end = ts[-1]
     n_out = ts.shape[0]
+    dt0 = jax.lax.stop_gradient(dt0)  # initial-step heuristic: mesh, not value
     out0 = _tree_map(lambda z: jnp.broadcast_to(z[None], (n_out,) + z.shape), z0)
 
     def cond(carry):
@@ -185,8 +188,15 @@ def _integrate_adaptive_dense(rhs, z0, ts, dt0, state0, cfg, stepper, max_steps,
             # Land exactly on derivative discontinuities (the torchdiffeq
             # options={'jump_t': ...} capability, reference README.md:240-249).
             dt_clamped = jnp.minimum(dt_clamped, _next_jump(jump_t, t) - t)
+        # Freeze the step sequence for reverse AD: differentiating through the
+        # controller (err -> dt -> z) injects the solver's non-smooth
+        # step-selection noise into otherwise-smooth gradients (measured 100x
+        # off the frozen-mesh/adjoint gradient on mildly sensitive problems).
+        # Gradients are those of the scheme on the realised mesh; output-time
+        # sensitivities still flow through the interpolant's theta below.
+        dt_clamped = jax.lax.stop_gradient(dt_clamped)
         z1, err, state1, (f0, f1, y_mid) = stepper.step_dense(rhs, t, z, dt_clamped, state)
-        ratio = _error_ratio(err, cfg.rtol, cfg.atol, z, z1)
+        ratio = jax.lax.stop_gradient(_error_ratio(err, cfg.rtol, cfg.atol, z, z1))
         accept = ratio <= 1.0
         t_new = jnp.where(accept, t + dt_clamped, t)
         z_new = tree_select(accept, z1, z)
