@@ -204,3 +204,56 @@ def test_masked_kernel_vs_oracle():
                     assert np.allclose(b[bi, :, ci], bo, atol=1e-8)
                     assert np.allclose(two_c[bi, :, ci], co, atol=1e-8)
                     assert np.allclose(three_d[bi, :, ci], do, atol=1e-8)
+
+
+def test_reproduces_analytic_natural_cubic():
+    """Property the reference's flaky analytic fuzz aimed at
+    (/root/reference/test/test_natural_cubic_spline.py:7-103, skipped
+    upstream): fitting samples of a genuine natural cubic spline reproduces
+    it.  The oracle here is the classical MOMENT formulation — solve the
+    moment (second-derivative) tridiagonal system with dense f64 LAPACK and
+    evaluate the textbook piecewise formula — sharing no code path with the
+    package's coefficient algebra.  Non-flaky: exact in f64 up to roundoff.
+    """
+    r = np.random.default_rng(7)
+    for t in (np.linspace(0.0, 9.0, 10), np.sort(r.uniform(0.0, 5.0, 8))):
+        n = len(t)
+        y = r.standard_normal((3, n, 2))
+        h = np.diff(t)
+
+        # Moment equations: natural BCs M_0 = M_{n-1} = 0.
+        A = np.zeros((n, n))
+        rhs = np.zeros((n,) + y.shape[:1] + y.shape[2:])
+        A[0, 0] = A[-1, -1] = 1.0
+        for i in range(1, n - 1):
+            A[i, i - 1] = h[i - 1] / 6
+            A[i, i] = (h[i - 1] + h[i]) / 3
+            A[i, i + 1] = h[i] / 6
+            rhs[i] = (y[:, i + 1] - y[:, i]) / h[i] - (y[:, i] - y[:, i - 1]) / h[i - 1]
+        M = np.linalg.solve(A, rhs.reshape(n, -1)).reshape(rhs.shape)
+
+        def oracle(tq):
+            i = min(np.searchsorted(t, tq, side="right") - 1, n - 2)
+            i = max(i, 0)
+            hi = h[i]
+            u, w = t[i + 1] - tq, tq - t[i]
+            Mi, Mj = M[i], M[i + 1]
+            yi, yj = y[:, i], y[:, i + 1]
+            val = (Mi * u**3 + Mj * w**3) / (6 * hi) \
+                + (yi / hi - Mi * hi / 6) * u + (yj / hi - Mj * hi / 6) * w
+            der = (-Mi * u**2 + Mj * w**2) / (2 * hi) \
+                - (yi / hi - Mi * hi / 6) + (yj / hi - Mj * hi / 6)
+            return val, der
+
+        spline = torchcde_tpu.CubicSpline(
+            torchcde_tpu.natural_cubic_coeffs(jnp.asarray(y), t=jnp.asarray(t)),
+            t=jnp.asarray(t),
+        )
+        for tq in r.uniform(t[0], t[-1], 12):
+            val, der = oracle(float(tq))
+            np.testing.assert_allclose(
+                np.asarray(spline.evaluate(jnp.asarray(tq))), val, atol=1e-9
+            )
+            np.testing.assert_allclose(
+                np.asarray(spline.derivative(jnp.asarray(tq))), der, atol=1e-9
+            )

@@ -2,9 +2,22 @@
 
 The recommended interpolation for Neural CDEs (reference README.md:119,175-177):
 kink-free — so adaptive solvers take large steps — while remaining
-"kind-of causal".  Mirrors
-/root/reference/torchcde/interpolation_hermite_cubic_bdiff.py; the
-construction is closed-form over knot differences and vectorizes directly.
+"kind-of causal".  Capability parity with
+/root/reference/torchcde/interpolation_hermite_cubic_bdiff.py.
+
+Construction: on each knot interval the spline is the cubic Hermite
+interpolant matching the two endpoint values and prescribed endpoint slopes,
+where the slope at knot i is the *backward* finite difference
+(x_i - x_{i-1}) / (t_i - t_{i-1}) — only past data, hence the causality
+property.  The first knot has no past, so it borrows the first interval's
+forward difference.  Converting the Hermite form to monomials in
+tau = t - t_i with h = t_{i+1} - t_i, slopes m, and secant
+S = (x_{i+1} - x_i) / h gives
+
+    p(tau) = x_i + m_i tau + (3S - 2m_i - m_{i+1})/h tau^2
+                 + (m_i + m_{i+1} - 2S)/h^2 tau^3,
+
+stored in the (a, b, 2c, 3d) layout CubicSpline evaluates.
 """
 
 import jax.numpy as jnp
@@ -13,30 +26,26 @@ from ..utils.misc import validate_input_path
 from .linear import linear_interpolation_coeffs
 
 
-def _setup_hermite_cubic_coeffs_w_backward_differences(times, coeffs, derivs):
-    """Compute backward Hermite from linear coeffs (reference :5-20)."""
-    x_prev = coeffs[..., :-1, :]
-    x_next = coeffs[..., 1:, :]
-    # Let x_0 - x_{-1} := x_1 - x_0.
-    derivs_prev = jnp.concatenate([derivs[..., :1, :], derivs[..., :-1, :]], axis=-2)
-    derivs_next = derivs
-    x_diff = x_next - x_prev
-    t_diff = (times[1:] - times[:-1])[..., None]
-
-    a = x_prev
-    b = derivs_prev
-    two_c = 2 * (3 * (x_diff / t_diff - b) - derivs_next + derivs_prev) / t_diff
-    three_d = (1 / t_diff**2) * (derivs_next - b) - two_c / t_diff
-    return jnp.concatenate([a, b, two_c, three_d], axis=-1)
-
-
 def hermite_cubic_coefficients_with_backward_differences(x, t=None):
-    """Hermite-cubic-with-backward-differences coefficients (reference :23-44).
+    """Hermite-cubic-with-backward-differences coefficients (capability of
+    reference interpolation_hermite_cubic_bdiff.py:23-44).
 
-    Arguments as ``linear_interpolation_coeffs``.  Returns an array of shape
-    (..., length - 1, 4 * channels), to be passed to ``CubicSpline``.
+    Arguments as ``linear_interpolation_coeffs`` (NaN infill included).
+    Returns an array of shape (..., length - 1, 4 * channels), to be passed to
+    ``CubicSpline``.
     """
-    coeffs = linear_interpolation_coeffs(x, t=t, rectilinear=None)
-    t = validate_input_path(coeffs, t)
-    derivs = (coeffs[..., 1:, :] - coeffs[..., :-1, :]) / (t[1:] - t[:-1])[..., None]
-    return _setup_hermite_cubic_coeffs_w_backward_differences(t, coeffs, derivs)
+    filled = linear_interpolation_coeffs(x, t=t, rectilinear=None)
+    t = validate_input_path(filled, t)
+
+    h = (t[1:] - t[:-1])[..., None]
+    secant = (filled[..., 1:, :] - filled[..., :-1, :]) / h
+    # Slope at knot i = secant of the interval ENDING at i; the first knot
+    # reuses the first secant (no past to difference against).
+    slope_start = jnp.concatenate([secant[..., :1, :], secant[..., :-1, :]], axis=-2)
+    slope_end = secant
+
+    a = filled[..., :-1, :]
+    b = slope_start
+    two_c = 2 * (3 * secant - 2 * slope_start - slope_end) / h
+    three_d = 3 * (slope_start + slope_end - 2 * secant) / h**2
+    return jnp.concatenate([a, b, two_c, three_d], axis=-1)
