@@ -64,3 +64,44 @@ def test_loader_validation():
         CoefficientDataLoader(x, rng.random(7), batch_size=4)
     with pytest.raises(ValueError):
         CoefficientDataLoader(x, rng.random(8), batch_size=4, interpolation="spline")
+
+
+def _toy_data(n):
+    x = rng.standard_normal((n, 10, 2)).astype(np.float32)
+    y = rng.random(n).astype(np.float32)
+    return x, y
+
+
+def test_multi_worker_matches_single_worker_order():
+    x, y = _toy_data(37)
+    kw = dict(batch_size=8, interpolation="hermite", shuffle=True, seed=5,
+              device_put=False)
+    single = list(CoefficientDataLoader(x, y, num_workers=1, **kw))
+    multi = list(CoefficientDataLoader(x, y, num_workers=3, **kw))
+    assert len(single) == len(multi) == 4
+    for (c1, l1), (c2, l2) in zip(single, multi):
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
+def test_drop_last_false_yields_ragged_tail():
+    x, y = _toy_data(37)
+    loader = CoefficientDataLoader(x, y, batch_size=8, interpolation="linear",
+                                   shuffle=False, device_put=False,
+                                   drop_last=False)
+    batches = list(loader)
+    assert len(loader) == 5 and len(batches) == 5
+    assert batches[-1][0].shape[0] == 37 - 4 * 8
+    # default (drop_last=True) drops it
+    loader2 = CoefficientDataLoader(x, y, batch_size=8, interpolation="linear",
+                                    shuffle=False, device_put=False)
+    assert len(list(loader2)) == 4
+
+
+def test_multi_worker_propagates_exceptions():
+    x, y = _toy_data(16)
+    loader = CoefficientDataLoader(x, y, batch_size=4, interpolation="hermite",
+                                   shuffle=False, device_put=False, num_workers=2)
+    loader._fn = lambda t, xb: (_ for _ in ()).throw(RuntimeError("boom"))
+    with pytest.raises(RuntimeError, match="boom"):
+        list(loader)

@@ -58,18 +58,28 @@ class CoefficientDataLoader:
     Arguments:
         x: (N, length, channels) raw observations (NaNs = missing); NumPy.
         y: (N, ...) labels; NumPy.
-        batch_size: minibatch size (last partial batch is dropped).
+        batch_size: minibatch size.
         interpolation: "hermite" | "cubic" | "linear" — which coefficient
             construction to run per batch.
         t: optional 1-D times (defaults to 0..length-1).
         shuffle: reshuffle each epoch.
         seed: shuffle seed.
-        prefetch: number of batches prepared ahead (background thread).
+        prefetch: number of batches prepared ahead of the consumer.
         device_put: move finished batches to the default device.
+        num_workers: preprocessing threads.  More than one pays off when the
+            native C++ kernels are built (ctypes releases the GIL during the
+            call); pure-NumPy preprocessing mostly serialises on the GIL.
+            Batches are always yielded in order regardless of worker count.
+        drop_last: when True (the DEFAULT), the final PARTIAL batch is
+            **silently dropped** — every yielded batch has exactly
+            ``batch_size`` rows, so jitted train steps never retrace.  Set
+            False to also get the ragged tail batch (its different shape
+            triggers one extra XLA compile for jitted consumers).
     """
 
     def __init__(self, x, y, batch_size, interpolation="hermite", t=None,
-                 shuffle=True, seed=0, prefetch=2, device_put=True):
+                 shuffle=True, seed=0, prefetch=2, device_put=True,
+                 num_workers=1, drop_last=True):
         if interpolation not in _PREPROCESSORS:
             raise ValueError(
                 f"Unknown interpolation {interpolation!r}; expected one of "
@@ -98,9 +108,20 @@ class CoefficientDataLoader:
         self._rng = np.random.default_rng(seed)
         self._prefetch = max(1, int(prefetch))
         self._device_put = device_put
+        self._num_workers = max(1, int(num_workers))
+        self._drop_last = bool(drop_last)
 
     def __len__(self):
-        return self._x.shape[0] // self._batch_size
+        n, bs = self._x.shape[0], self._batch_size
+        return n // bs if self._drop_last else -(-n // bs)
+
+    def _make_batch(self, idx):
+        coeffs = self._fn(self._t, self._x[idx])
+        labels = self._y[idx]
+        if self._device_put:
+            coeffs = jax.device_put(coeffs)
+            labels = jax.device_put(labels)
+        return coeffs, labels
 
     def __iter__(self):
         order = (
@@ -109,32 +130,45 @@ class CoefficientDataLoader:
             else np.arange(self._x.shape[0])
         )
         n_batches = len(self)
-        q = queue.Queue(maxsize=self._prefetch)
         stop = threading.Event()
+        # In-flight bound: workers may run at most prefetch + num_workers
+        # batches ahead of the consumer.
+        slots = threading.Semaphore(self._prefetch + self._num_workers - 1)
+        next_task = iter(range(n_batches))
+        task_lock = threading.Lock()
+        cond = threading.Condition()
+        results = {}
 
         def worker():
-            try:
-                for i in range(n_batches):
-                    if stop.is_set():
-                        return
-                    idx = order[i * self._batch_size : (i + 1) * self._batch_size]
-                    coeffs = self._fn(self._t, self._x[idx])
-                    labels = self._y[idx]
-                    if self._device_put:
-                        coeffs = jax.device_put(coeffs)
-                        labels = jax.device_put(labels)
-                    q.put((coeffs, labels))
-                q.put(None)
-            except BaseException as e:  # surface worker failures to the consumer
-                q.put(e)
-
-        thread = threading.Thread(target=worker, daemon=True)
-        thread.start()
-        try:
-            while True:
-                item = q.get()
-                if item is None:
+            while not stop.is_set():
+                slots.acquire()
+                with task_lock:
+                    i = next(next_task, None)
+                if i is None:
+                    slots.release()
                     return
+                idx = order[i * self._batch_size : (i + 1) * self._batch_size]
+                try:
+                    item = self._make_batch(idx)
+                except BaseException as e:  # surfaced to the consumer, in order
+                    item = e
+                with cond:
+                    results[i] = item
+                    cond.notify_all()
+
+        threads = [
+            threading.Thread(target=worker, daemon=True)
+            for _ in range(self._num_workers)
+        ]
+        for th in threads:
+            th.start()
+        try:
+            for i in range(n_batches):
+                with cond:
+                    while i not in results:
+                        cond.wait()
+                    item = results.pop(i)
+                slots.release()
                 if isinstance(item, BaseException):
                     raise item
                 yield item
