@@ -79,3 +79,59 @@ def test_broadcast_semantics_match_reference():
     got = tridiagonal_solve_pallas(b, u[0], d[0], l[0], interpret=True)
     ref = tridiagonal_solve_pcr(b, u[0], d[0], l[0])
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+def _gappy_system(B, L, frac, seed=11):
+    r = np.random.default_rng(seed)
+    obs = r.random((B, L)) > frac
+    obs[:, 0] = True
+    obs[:, -1] = True
+    hr = np.where(obs, 0.2 + r.random((B, L)), 0.0).astype(np.float32)
+    hr_prev = np.zeros_like(hr)
+    for b in range(B):
+        prev = 0.0
+        for i in range(L):
+            if obs[b, i]:
+                hr_prev[b, i] = prev
+                prev = hr[b, i]
+    diag = np.where(obs, 2 * (hr + hr_prev) + 1.0, 1.0).astype(np.float32)
+    rhs = np.where(obs, r.standard_normal((B, L)), 0.0).astype(np.float32)
+    return tuple(jnp.asarray(v) for v in (diag, rhs, hr, hr_prev)) + (jnp.asarray(obs),)
+
+
+@pytest.mark.parametrize("shape", [(4, 700, 0.3), (3, 512, 0.0), (2, 1030, 0.6)])
+def test_masked_streaming_kernel_matches_scan(shape):
+    from torchcde_tpu.interpolation.cubic import _masked_thomas_observed
+    from torchcde_tpu.ops.masked_tridiagonal_pallas import masked_thomas_pallas
+
+    d, r, h, hp, o = _gappy_system(*shape)
+    ref = _masked_thomas_observed(d, r, h, hp, o)
+    got = masked_thomas_pallas(d, r, h, hp, o, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=3e-4, atol=3e-5)
+
+
+def test_masked_solve_custom_vjp_matches_scan_ad():
+    # The analytic VJP (transpose solve + neighbour fills) must equal
+    # differentiating through the masked Thomas lax.scan for every CONSISTENT
+    # use (hr_prev = previous-observed fill of hr, as the cubic fit always
+    # passes): the (j, j+1) coupling gradient is attributed differently
+    # between hr_j and hr_prev_{j+1} by the two methods, but their total —
+    # the only thing reachable through the fill — is identical.
+    from torchcde_tpu.interpolation.cubic import _masked_solve, _masked_thomas_observed
+    from torchcde_tpu.ops.fill import masked_fill_scan
+
+    d, r, h, _hp, o = _gappy_system(2, 60, 0.3)
+    d, r, h = (v.astype(jnp.float64) for v in (d, r, h))
+
+    def loss(fn):
+        def run(d, r, h):
+            filled = masked_fill_scan(h, o, axis=-1)
+            hp = jnp.concatenate([jnp.zeros_like(h[..., :1]), filled[..., :-1]], -1)
+            hp = jnp.where(o, hp, 0.0)
+            return jnp.sum(fn(d, r, h, hp, o) ** 3)
+        return run
+
+    ga = jax.grad(loss(_masked_solve), argnums=(0, 1, 2))(d, r, h)
+    gs = jax.grad(loss(_masked_thomas_observed), argnums=(0, 1, 2))(d, r, h)
+    for a, b in zip(ga, gs):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-9, atol=1e-12)

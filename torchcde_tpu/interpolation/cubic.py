@@ -116,6 +116,67 @@ def _masked_thomas_observed(diag, rhs, hr, hr_prev, observed):
     return jnp.moveaxis(xT, 0, -1)
 
 
+def _masked_solve_impl(diag, rhs, hr, hr_prev, observed):
+    """Dispatch the gappy solve: streaming Pallas kernels on TPU for large
+    batches (ops/masked_tridiagonal_pallas.py — prefix-scan blocks at ~4x the
+    lax.scan), the masked Thomas scan otherwise."""
+    batch = 1
+    for dim in diag.shape[:-1]:
+        batch *= dim
+    if (
+        jax.default_backend() == "tpu"
+        and batch >= 512
+        and diag.shape[-1] >= 512
+        and diag.dtype == jnp.float32
+    ):
+        from ..ops.masked_tridiagonal_pallas import masked_thomas_pallas
+
+        return masked_thomas_pallas(diag, rhs, hr, hr_prev, observed)
+    return _masked_thomas_observed(diag, rhs, hr, hr_prev, observed)
+
+
+@jax.custom_vjp
+def _masked_solve(diag, rhs, hr, hr_prev, observed):
+    return _masked_solve_impl(diag, rhs, hr, hr_prev, observed)
+
+
+def _masked_solve_fwd(diag, rhs, hr, hr_prev, observed):
+    x = _masked_solve_impl(diag, rhs, hr, hr_prev, observed)
+    return x, (diag, hr, hr_prev, observed, x)
+
+
+def _masked_solve_bwd(res, g):
+    # The reduced system is symmetric (A_ij = A_ji = hr at the earlier
+    # observed knot), so the transpose solve reuses the same bands:
+    #   y = A^{-1} g;  d_bar = -y * x;  hr_bar_i = -y_i x_nextobs;
+    #   hr_prev_bar_i = -y_i x_prevobs.
+    # CONTRACT: callers must pass hr_prev = previous-observed fill of hr (as
+    # the fit construction does).  These partials are those of A(bands)^{-1}
+    # rhs, which agrees with the scan algorithm on that consistent manifold;
+    # the split of the coupling gradient between hr_j and hr_prev_{next j}
+    # differs from scan-AD, but their total through the fill is identical.
+    from ..ops.fill import masked_fill_scan
+
+    diag, hr, hr_prev, observed, x = res
+    y = _masked_solve_impl(diag, g, hr, hr_prev, observed)
+    xf = masked_fill_scan(x, observed, axis=-1)
+    xb = masked_fill_scan(x, observed, axis=-1, reverse=True)
+    zero = jnp.zeros_like(x[..., :1])
+    x_prev = jnp.concatenate([zero, xf[..., :-1]], axis=-1)
+    x_next = jnp.concatenate([xb[..., 1:], zero], axis=-1)
+    obs_f = observed.astype(x.dtype)
+    return (
+        -y * x * obs_f,
+        y * obs_f,
+        -y * x_next * obs_f,
+        -y * x_prev * obs_f,
+        None,
+    )
+
+
+_masked_solve.defvjp(_masked_solve_fwd, _masked_solve_bwd)
+
+
 def _natural_cubic_coeffs_masked(t, x, _version):
     """NaN-aware natural spline on (..., length), length last, fully batched
     and gather-free.
@@ -180,7 +241,7 @@ def _natural_cubic_coeffs_masked(t, x, _version):
     diag = jnp.where(observed & (diag > 0), diag, jnp.ones_like(diag))
     rhs = pds_prev + pds
 
-    kd = _masked_thomas_observed(diag, rhs, hr, hr_prev, observed)
+    kd = _masked_solve(diag, rhs, hr, hr_prev, observed)
 
     # kd at the next observed knot (strictly after).
     kdn_inc = masked_fill_scan(kd, observed, axis=-1, reverse=True)
