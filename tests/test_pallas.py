@@ -135,3 +135,35 @@ def test_masked_solve_custom_vjp_matches_scan_ad():
     gs = jax.grad(loss(_masked_thomas_observed), argnums=(0, 1, 2))(d, r, h)
     for a, b in zip(ga, gs):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-9, atol=1e-12)
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+@pytest.mark.parametrize("shape", [(3, 700, 0.4), (2, 512, 0.0), (4, 1030, 0.8)])
+def test_streaming_fill_matches_scan(shape, reverse):
+    from torchcde_tpu.ops.fill import masked_fill_scan
+    from torchcde_tpu.ops.fill_pallas import masked_fill_pallas
+
+    B, L, frac = shape
+    r = np.random.default_rng(21)
+    v = jnp.asarray(r.standard_normal((B, L)), jnp.float32)
+    w = jnp.asarray(r.standard_normal((B, L)), jnp.float32)
+    o = jnp.asarray(r.random((B, L)) > frac)
+    ref = masked_fill_scan((v, w), o, axis=-1, reverse=reverse)
+    got = masked_fill_pallas((v, w), o, reverse=reverse, interpret=True)
+    for a, b in zip(got, ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_masked_fill_vjp_matches_scan_ad(reverse):
+    from torchcde_tpu.ops.fill import masked_fill, masked_fill_scan
+
+    r = np.random.default_rng(5)
+    v = jnp.asarray(r.standard_normal((3, 41)))
+    o = jnp.asarray(r.random((3, 41)) > 0.6)
+
+    f1 = lambda v: jnp.sum(masked_fill(v, o, reverse=reverse) ** 3)
+    f2 = lambda v: jnp.sum(masked_fill_scan(v, o, axis=-1, reverse=reverse) ** 3)
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(f1)(v)), np.asarray(jax.grad(f2)(v)), rtol=1e-12
+    )

@@ -78,3 +78,42 @@ def test_cubic_fit_on_tpu_smoke():
     spline = tc.CubicSpline(coeffs)
     out = spline.evaluate(jnp.asarray(3.7))
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_streaming_fill_and_masked_solve_on_tpu():
+    from torchcde_tpu.ops.fill import masked_fill_scan
+    from torchcde_tpu.ops.fill_pallas import masked_fill_pallas
+    from torchcde_tpu.interpolation.cubic import _masked_thomas_observed
+    from torchcde_tpu.ops.masked_tridiagonal_pallas import masked_thomas_pallas
+
+    r = np.random.default_rng(3)
+    B, L = 1024, 1024
+    v = jnp.asarray(r.standard_normal((B, L)), jnp.float32)
+    o = jnp.asarray(r.random((B, L)) > 0.3)
+    for rev in (False, True):
+        ref = masked_fill_scan(v, o, axis=-1, reverse=rev)
+        got = masked_fill_pallas(v, o, reverse=rev)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    obs = np.asarray(o)
+    hr = np.where(obs, 0.2 + r.random((B, L)), 0.0).astype(np.float32)
+    hr_prev = np.roll(np.where(obs, hr, 0.0), 1, axis=1)
+    hr_prev[:, 0] = 0.0
+    diag = np.where(obs, 2 * (hr + hr_prev) + 1.0, 1.0).astype(np.float32)
+    rhs = np.where(obs, r.standard_normal((B, L)), 0.0).astype(np.float32)
+    args = tuple(jnp.asarray(x) for x in (diag, rhs, hr, hr_prev))
+    ref = _masked_thomas_observed(*args, o)
+    got = masked_thomas_pallas(*args, o)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-3, atol=1e-4)
+
+
+def test_cubic_fit_gradients_on_tpu():
+    import torchcde_tpu as tc
+
+    r = np.random.default_rng(0)
+    x = r.standard_normal((1024, 600, 1)).astype(np.float32)
+    x[r.random(x.shape) < 0.2] = np.nan
+    xj = jnp.asarray(x)
+    g = jax.jit(jax.grad(lambda v: jnp.sum(tc.natural_cubic_coeffs(v) ** 2)))(xj)
+    gv = np.asarray(g)
+    assert np.isfinite(gv[~np.isnan(x)]).all()

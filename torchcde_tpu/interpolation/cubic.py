@@ -155,12 +155,12 @@ def _masked_solve_bwd(res, g):
     # rhs, which agrees with the scan algorithm on that consistent manifold;
     # the split of the coupling gradient between hr_j and hr_prev_{next j}
     # differs from scan-AD, but their total through the fill is identical.
-    from ..ops.fill import masked_fill_scan
+    from ..ops.fill import masked_fill
 
     diag, hr, hr_prev, observed, x = res
     y = _masked_solve_impl(diag, g, hr, hr_prev, observed)
-    xf = masked_fill_scan(x, observed, axis=-1)
-    xb = masked_fill_scan(x, observed, axis=-1, reverse=True)
+    xf = masked_fill(x, observed, axis=-1)
+    xb = masked_fill(x, observed, axis=-1, reverse=True)
     zero = jnp.zeros_like(x[..., :1])
     x_prev = jnp.concatenate([zero, xf[..., :-1]], axis=-1)
     x_next = jnp.concatenate([xb[..., 1:], zero], axis=-1)
@@ -188,7 +188,7 @@ def _natural_cubic_coeffs_masked(t, x, _version):
     scan, and the reference's sequential polynomial re-basing walk
     (interpolation_cubic.py:147-162) becomes one forward fill scan.
     """
-    from ..ops.fill import masked_fill_scan
+    from ..ops.fill import masked_fill
 
     length = x.shape[-1]
     observed = ~jnp.isnan(x)
@@ -215,7 +215,7 @@ def _natural_cubic_coeffs_masked(t, x, _version):
     t_b = jnp.broadcast_to(t.astype(x.dtype), x.shape)
 
     # Next observed (value, time) strictly after each position.
-    xn_inc, tn_inc = masked_fill_scan((x_safe, t_b), observed, axis=-1, reverse=True)
+    xn_inc, tn_inc = masked_fill((x_safe, t_b), observed, axis=-1, reverse=True)
     pad_x = xn_inc[..., -1:]
     pad_t = tn_inc[..., -1:] + 1  # sentinel: no later observation
     xn = jnp.concatenate([xn_inc[..., 1:], pad_x], axis=-1)
@@ -232,7 +232,7 @@ def _natural_cubic_coeffs_masked(t, x, _version):
 
     # Previous-observed-interval quantities (hr, pds at the previous observed
     # knot), forward-filled exclusively.
-    hr_f, pds_f = masked_fill_scan((hr, pds), observed, axis=-1)
+    hr_f, pds_f = masked_fill((hr, pds), observed, axis=-1)
     zero_col = jnp.zeros_like(hr[..., :1])
     hr_prev = jnp.concatenate([zero_col, hr_f[..., :-1]], axis=-1)
     pds_prev = jnp.concatenate([zero_col, pds_f[..., :-1]], axis=-1)
@@ -244,7 +244,7 @@ def _natural_cubic_coeffs_masked(t, x, _version):
     kd = _masked_solve(diag, rhs, hr, hr_prev, observed)
 
     # kd at the next observed knot (strictly after).
-    kdn_inc = masked_fill_scan(kd, observed, axis=-1, reverse=True)
+    kdn_inc = masked_fill(kd, observed, axis=-1, reverse=True)
     kdn = jnp.concatenate([kdn_inc[..., 1:], kdn_inc[..., -1:]], axis=-1)
 
     a0 = x_safe
@@ -254,7 +254,7 @@ def _natural_cubic_coeffs_masked(t, x, _version):
 
     # Re-base: the polynomial of the last observed knot at-or-before each grid
     # interval, via one forward fill scan (replaces the reference's walk).
-    a_k, b_k, two_c_k, three_d_k, t_obs = masked_fill_scan(
+    a_k, b_k, two_c_k, three_d_k, t_obs = masked_fill(
         (a0, b0, two_c0, three_d0, t_b), observed, axis=-1
     )
     a_k = a_k[..., :-1]

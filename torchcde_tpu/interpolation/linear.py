@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.fill import forward_fill, masked_fill_scan
+from ..ops.fill import forward_fill, masked_fill
 from ..utils.misc import is_concrete, validate_input_path
 from .base import InterpolationBase, register_control
 
@@ -54,8 +54,8 @@ def _fill_missing_linear(t, x):
     # scalar-expensive, a select-combine scan is log2(n) vector passes.
     t_b = jnp.broadcast_to(t.astype(xT.dtype), xT.shape)
     safe_x = jnp.where(observed, xT, jnp.zeros_like(xT))
-    xp, tp = masked_fill_scan((safe_x, t_b), observed, axis=-1)
-    xn, tn = masked_fill_scan((safe_x, t_b), observed, axis=-1, reverse=True)
+    xp, tp = masked_fill((safe_x, t_b), observed, axis=-1)
+    xn, tn = masked_fill((safe_x, t_b), observed, axis=-1, reverse=True)
 
     denom = jnp.where(tn > tp, tn - tp, jnp.ones_like(tn))
     ratio = (t - tp) / denom

@@ -12,6 +12,8 @@ per-scalar Python recursions over NaN runs
 "TODO: parallelise over this") with masked gathers.
 """
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -86,3 +88,73 @@ def backward_fill(x, fill_index=-2):
     nxt_idx = next_observed_index(observed, axis=axis)
     gathered = jnp.take_along_axis(x, jnp.minimum(nxt_idx, n - 1), axis=axis)
     return jnp.where(nxt_idx <= n - 1, gathered, x)
+
+
+def _fill_dispatch(values, observed, axis, reverse):
+    axis = axis % observed.ndim
+    batch = observed.size // observed.shape[axis]
+    if (
+        axis == observed.ndim - 1
+        and jax.default_backend() == "tpu"
+        and batch >= 512
+        and observed.shape[axis] >= 512
+        and all(v.dtype == jnp.float32 for v in values)
+    ):
+        from .fill_pallas import masked_fill_pallas
+
+        return masked_fill_pallas(tuple(values), observed, reverse=reverse)
+    return masked_fill_scan(tuple(values), observed, axis=axis, reverse=reverse)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _masked_fill(values, observed, axis, reverse):
+    return _fill_dispatch(values, observed, axis, reverse)
+
+
+def _masked_fill_fwd(values, observed, axis, reverse):
+    return _fill_dispatch(values, observed, axis, reverse), observed
+
+
+def _masked_fill_bwd(axis, reverse, observed, g):
+    # y_i = v at the most recent observed position at/before i (after, when
+    # reverse), with the array's boundary entry flowing before any
+    # observation.  The cotangent of source j is the segment sum of g over
+    # the positions j serves: a directional cumsum minus its value at the
+    # next source, fetched gather-free with a sentinel-extended fill.
+    axis_ = axis % observed.ndim
+
+    def per_leaf(gl):
+        S = jax.lax.cumsum(gl, axis=axis_, reverse=not reverse)
+        n = observed.shape[axis_]
+        pad = [(0, 0)] * observed.ndim
+        pad[axis_] = (1, 0) if reverse else (0, 1)
+        S_ext = jnp.pad(S, pad)
+        obs_ext = jnp.pad(observed, pad, constant_values=True)
+        Sn = masked_fill_scan(S_ext, obs_ext, axis=axis_, reverse=not reverse)
+        # value of S at the nearest source strictly beyond i
+        sl = [slice(None)] * observed.ndim
+        sl[axis_] = slice(0, n) if reverse else slice(1, n + 1)
+        Sn_strict = Sn[tuple(sl)]
+        seg = S - Sn_strict
+        idx = jax.lax.broadcasted_iota(jnp.int32, observed.shape, axis_)
+        boundary = idx == (n - 1 if reverse else 0)
+        return jnp.where(observed | boundary, seg, jnp.zeros_like(seg))
+
+    return (tuple(per_leaf(gl) for gl in g), None)
+
+
+_masked_fill.defvjp(_masked_fill_fwd, _masked_fill_bwd)
+
+
+def masked_fill(values, observed, axis=-1, reverse=False):
+    """Differentiable masked fill with TPU streaming-kernel dispatch.
+
+    Same semantics as ``masked_fill_scan``; on TPU with large (..., length)
+    f32 inputs the fill runs as one VMEM-resident Pallas pass
+    (ops/fill_pallas.py) instead of log2(n) associative-scan HBM passes, and
+    gradients use the analytic segment-sum VJP either way.
+    """
+    single = not isinstance(values, (tuple, list))
+    vals = (values,) if single else tuple(values)
+    out = _masked_fill(vals, observed, axis, reverse)
+    return out[0] if single else out
