@@ -34,32 +34,34 @@ def _fill_missing_linear(t, x):
     axis tile far better on TPU.
     """
     xT = jnp.swapaxes(x, -1, -2)  # (..., channels, length)
-    length = xT.shape[-1]
     t = jnp.asarray(t) if not isinstance(t, jnp.ndarray) else t
 
     observed = ~jnp.isnan(xT)
-    any_obs = jnp.any(observed, axis=-1, keepdims=True)
-
-    first_idx = jnp.argmax(observed, axis=-1)[..., None]
-    last_idx = (length - 1) - jnp.argmax(jnp.flip(observed, axis=-1), axis=-1)[..., None]
-    v_first = jnp.take_along_axis(xT, first_idx, axis=-1)
-    v_last = jnp.take_along_axis(xT, last_idx, axis=-1)
-
-    pos = jax.lax.broadcasted_iota(jnp.int32, xT.shape, xT.ndim - 1)
-    xT = jnp.where((pos == 0) & ~observed, v_first, xT)
-    xT = jnp.where((pos == length - 1) & ~observed, v_last, xT)
-
-    observed = ~jnp.isnan(xT)
     # Gather-free prev/next observed (value, time) fills: TPU gathers are
-    # scalar-expensive, a select-combine scan is log2(n) vector passes.
+    # scalar-expensive, a select-combine scan is log2(n) vector passes (or a
+    # single streaming Pallas pass for large inputs).  Endpoint imputation —
+    # the reference copies the first/last observation outward
+    # (interpolation_linear.py:24-45) — falls out of the same fills: before
+    # the first observation, substitute the backward fill's boundary value
+    # (and its time) so the blend degenerates to that constant.
     t_b = jnp.broadcast_to(t.astype(xT.dtype), xT.shape)
     safe_x = jnp.where(observed, xT, jnp.zeros_like(xT))
     xp, tp = masked_fill((safe_x, t_b), observed, axis=-1)
     xn, tn = masked_fill((safe_x, t_b), observed, axis=-1, reverse=True)
 
+    obs_i = observed.astype(jnp.int32)
+    has_prev = jax.lax.cummax(obs_i, axis=xT.ndim - 1) > 0
+    has_next = jax.lax.cummax(obs_i, axis=xT.ndim - 1, reverse=True) > 0
+    any_obs = has_prev[..., -1:] > 0
+
+    xp = jnp.where(has_prev, xp, xn[..., :1])
+    tp = jnp.where(has_prev, tp, tn[..., :1])
+    xn = jnp.where(has_next, xn, xp[..., -1:])
+    tn = jnp.where(has_next, tn, tp[..., -1:])
+
     denom = jnp.where(tn > tp, tn - tp, jnp.ones_like(tn))
     ratio = (t - tp) / denom
-    filled = xp + ratio * (xn - xp)
+    filled = jnp.clip(ratio, 0.0, 1.0) * (xn - xp) + xp
 
     out = jnp.where(observed, xT, filled)
     out = jnp.where(any_obs, out, jnp.zeros_like(out))
@@ -93,7 +95,11 @@ def _prepare_rectilinear_interpolation(data, time_index):
     data_repeat = jnp.repeat(data_filled, 2, axis=-2)
     times_rep = data_repeat[..., time_index]
     shifted_times = jnp.concatenate([times_rep[..., 1:], times_rep[..., -1:]], axis=-1)
-    data_repeat = data_repeat.at[..., time_index].set(shifted_times)
+    # Masked select instead of .at[..., idx].set: a scatter along the minor
+    # channel axis costs tens of ms on TPU at batch scale; the where is one
+    # fused elementwise pass.
+    chan = jax.lax.broadcasted_iota(jnp.int32, data_repeat.shape, data_repeat.ndim - 1)
+    data_repeat = jnp.where(chan == time_index, shifted_times[..., None], data_repeat)
     return data_repeat[..., :-1, :]
 
 

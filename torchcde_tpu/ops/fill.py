@@ -97,7 +97,7 @@ def _fill_dispatch(values, observed, axis, reverse):
         axis == observed.ndim - 1
         and jax.default_backend() == "tpu"
         and batch >= 512
-        and observed.shape[axis] >= 512
+        and observed.shape[axis] >= 256
         and all(v.dtype == jnp.float32 for v in values)
     ):
         from .fill_pallas import masked_fill_pallas
