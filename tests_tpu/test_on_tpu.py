@@ -117,3 +117,48 @@ def test_cubic_fit_gradients_on_tpu():
     g = jax.jit(jax.grad(lambda v: jnp.sum(tc.natural_cubic_coeffs(v) ** 2)))(xj)
     gv = np.asarray(g)
     assert np.isfinite(gv[~np.isnan(x)]).all()
+
+
+def test_fused_cde_kernel_matches_general_path_on_tpu():
+    """The fused Pallas CDE solve (solvers/fused_pallas.py) vs the general
+    step-scan path, compiled on hardware: forward + all gradient paths.
+    Tolerances reflect TPU default matmul precision (the general path's own
+    default-vs-f32 spread is the same size)."""
+    import torchcde_tpu as tc
+    from torchcde_tpu.interpolation.cubic import CubicSpline
+    from torchcde_tpu.solvers import fused_pallas
+    from torchcde_tpu.solvers.terms import MLPVectorField
+
+    r = np.random.default_rng(1)
+    B, L, C, H, W = 300, 8, 3, 8, 128
+    x = r.standard_normal((B, L, C)).astype(np.float32)
+    coeffs = tc.hermite_cubic_coefficients_with_backward_differences(jnp.asarray(x))
+    w1 = jnp.asarray(r.standard_normal((H, W)) * 0.05, jnp.float32)
+    b1 = jnp.asarray(r.standard_normal((W,)) * 0.05, jnp.float32)
+    w2 = jnp.asarray(r.standard_normal((W, H * C)) * 0.05, jnp.float32)
+    b2 = jnp.asarray(r.standard_normal((H * C,)) * 0.05, jnp.float32)
+    z0 = jnp.asarray(r.standard_normal((B, H)).astype(np.float32))
+    t = jnp.asarray([0.0, 3.0, 7.0], jnp.float32)
+
+    def loss(args, use_fused):
+        z0_, w1_, b1_, w2_, b2_, coeffs_ = args
+        fused_pallas.force_fused_pallas(None if use_fused else False)
+        try:
+            X = CubicSpline(coeffs_)
+            field = MLPVectorField(w1_, b1_, w2_, b2_, H, C)
+            out = tc.cdeint(X=X, func=field, z0=z0_, t=t, adjoint=False,
+                            method="rk4", options={"step_size": 0.5})
+        finally:
+            fused_pallas.force_fused_pallas(None)
+        return jnp.sum(jnp.sin(out)), out
+
+    args = (z0, w1, b1, w2, b2, coeffs)
+    (_, out_ref), g_ref = jax.value_and_grad(loss, has_aux=True)(args, False)
+    (_, out_fp), g_fp = jax.value_and_grad(loss, has_aux=True)(args, True)
+    np.testing.assert_allclose(np.asarray(out_fp), np.asarray(out_ref),
+                               rtol=1e-2, atol=1e-2)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_fp)):
+        scale = max(float(jnp.max(jnp.abs(a))), 1.0)
+        np.testing.assert_allclose(np.asarray(b) / scale, np.asarray(a) / scale,
+                                   rtol=0.15, atol=0.08)

@@ -63,16 +63,18 @@ def init_neural_cde(key, cfg: NeuralCDEConfig, dtype=jnp.float32):
 def cde_func(params, cfg: NeuralCDEConfig):
     """The vector field f(t, z) -> (..., hidden, input); the final tanh keeps
     the model's rate-of-change bounded (reference
-    time_series_classification.py:43-50 explains why this matters)."""
+    time_series_classification.py:43-50 explains why this matters).
 
-    def f(t, z):
-        h = _dense(params["func1"], z)
-        h = jax.nn.relu(h)
-        h = _dense(params["func2"], h)
-        h = jnp.tanh(h)
-        return h.reshape(h.shape[:-1] + (cfg.hidden_channels, cfg.input_channels))
+    Returns an ``MLPVectorField`` — behaviourally a plain callable, but the
+    fixed-step fast path recognizes it and fuses the whole solve into one
+    Pallas TPU kernel (solvers/fused_pallas.py)."""
+    from ..solvers.terms import MLPVectorField
 
-    return f
+    return MLPVectorField(
+        params["func1"]["w"], params["func1"]["b"],
+        params["func2"]["w"], params["func2"]["b"],
+        cfg.hidden_channels, cfg.input_channels,
+    )
 
 
 def make_control(coeffs, cfg: NeuralCDEConfig, t=None):

@@ -259,6 +259,22 @@ def cdeint(X, func, z0, t, adjoint=True, backend="native", **kwargs):
             return out, stats
         return out
 
+    if (adjoint and jump_t is None and adjoint_params is None
+            and adjoint_method == method and adjoint_step_size == step_size):
+        # Fixed-step solves of the canonical MLP vector field route to the
+        # fused Pallas kernel (solvers/fused_pallas.py): its hand-written
+        # backward stores only the per-knot states — within the adjoint's
+        # memory contract — and reverses the exact forward computation, so it
+        # is both faster and more accurate than the continuous backsolve.
+        # Declines (None) off-TPU, for non-MLP fields, or outside its caps;
+        # the scan fast path is NOT used here (pallas_only) because direct
+        # XLA autodiff through the scan would store every stage activation.
+        from .fused_fixed import try_fused_fixed
+
+        out = try_fused_fixed(X, func, z0, t, method, step_size, pallas_only=True)
+        if out is not None:
+            return jax.tree_util.tree_map(lambda o: jnp.moveaxis(o, 0, -2), out)
+
     if adjoint:
         # The adjoint integrates over traced sub-intervals, so a fixed-step
         # adjoint needs an explicit step bound; derive it from t when concrete.

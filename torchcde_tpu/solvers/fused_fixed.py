@@ -37,8 +37,12 @@ def _knot_indices(grid, ts):
 _STATE_FREE = ("euler", "midpoint", "heun", "rk4")
 
 
-def try_fused_fixed(X, func, z0, ts, method, step_size):
+def try_fused_fixed(X, func, z0, ts, method, step_size, pallas_only=False):
     """Returns the solution (time-leading) or None if not applicable.
+
+    ``pallas_only=True`` restricts to the fully-fused Pallas kernel path
+    (used by the adjoint dispatch, where falling back to the XLA step scan
+    would silently abandon the adjoint's memory contract).
 
     Preconditions (so the step sequence is *identical* to the general path):
     state-free RK method, array state, concrete knot grid and output times,
@@ -87,6 +91,25 @@ def try_fused_fixed(X, func, z0, ts, method, step_size):
     if m > _MAX_SUBSTEPS or m < 1 or not np.allclose(
         np.round(m_per) * step_size_val, spans, rtol=1e-9, atol=1e-12
     ) or not np.all(np.round(m_per) == m):
+        return None
+
+    if np.allclose(spans, spans[0], rtol=1e-9, atol=1e-12):
+        # Uniform knot spacing + the canonical MLP vector field: the whole
+        # solve can run inside one Pallas TPU kernel (no per-stage HLO
+        # dispatch; see solvers/fused_pallas.py).  Declines (returns None)
+        # off-TPU or outside its shape caps.
+        from .fused_pallas import try_fused_mlp_pallas
+        from .terms import MLPVectorField
+
+        if isinstance(func, MLPVectorField):
+            sliced = tuple(r[..., j0:jN, :] for r in rows[1:])
+            knots = try_fused_mlp_pallas(
+                sliced, z0, func, method, m, step_size_val, jN - j0
+            )
+            if knots is not None:
+                return jnp.take(knots, jnp.asarray(out_idx - j0), axis=0)
+
+    if pallas_only:
         return None
 
     is_prod = hasattr(func, "prod")

@@ -1,0 +1,451 @@
+"""Fully-fused Pallas TPU kernel for fixed-step Neural CDE solves.
+
+The flagship workload (reference example/time_series_classification.py:130-166:
+cubic control + MLP vector field + fixed-step RK) spends its time in ~400
+*sequential* tiny matmuls: measured on a v5e chip, each z@W1 / h@W2 pair costs
+~5.8us of which ~4.6us is fixed per-op overhead (4x the batch costs only 1.6x
+the time).  XLA cannot remove that overhead because every solver stage is a
+separate HLO; this kernel runs the ENTIRE solve — every interval, substep and
+RK stage — inside one Pallas program, so the MXU sees back-to-back matmuls
+with no dispatch gaps, and intermediate activations never touch HBM.
+
+Layout: batch rides the VPU *lanes* (arrays are (feature, batch_tile)), so
+every matmul is (out_features, K) @ (K, tile) — full 128-lane tiles regardless
+of how small the CDE's channel counts are.  The grid is
+(batch_tiles, intervals); the hidden state carries across the interval axis in
+a VMEM scratch that is reset when a new batch tile begins.
+
+The backward pass is a second Pallas kernel walking the interval grid in
+reverse (index_map ``(i, jr) -> (n-1-jr, i)``), recomputing each interval's
+stages from the forward pass's stored knot states (O(L*H) residual memory, not
+O(L*W*stages)) and accumulating weight/coefficient gradients in VMEM scratch.
+Gradient flow matches direct backprop through the step scan exactly: grads
+reach z0, the MLP parameters, and the spline coefficients (the contract of
+reference test/test_tricks.py:21-49).
+
+The contraction f(z) . dX/dt and its transpose are expressed with two
+selection matrices so they run on the MXU in the lane layout:
+``k = SEL @ (g * (REP @ dx))`` where ``REP`` tiles the C control channels
+across the C*H vector-field columns and ``SEL`` sums each hidden row's C
+products.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANES = 128
+_SLAB = 16  # coefficient slab rows per interval (3*C <= 16 padded to a sublane tile)
+
+# Applicability caps: sized so the working set (weights + S stage activations
+# at the widest tile) stays far under the ~16MB VMEM.
+MAX_WIDTH = 512
+MAX_CONTRACT = 512  # C * H
+MAX_SUBSTEPS = 8
+
+# None: use the kernel when running on TPU.  True: force (interpret mode off
+# TPU — used by the CPU equivalence tests).  False: never.
+_FORCE = None
+
+
+def force_fused_pallas(mode):
+    """Test hook: None = auto (TPU only), True = force (interpreted off-TPU),
+    False = disable."""
+    global _FORCE
+    _FORCE = mode
+
+
+def _on_tpu():
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except RuntimeError:  # pragma: no cover
+        return False
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+def _selection_matrices(C, H, CHp, dtype):
+    """REP (CHp, C): REP[i*H+h, i] = 1 — tiles dx across vector-field columns.
+    SEL (Hp, CHp): SEL[h, i*H+h] = 1 — sums each hidden row's C products."""
+    CH = C * H
+    Hp = _round_up(H, 8)
+    q = jax.lax.broadcasted_iota(jnp.int32, (CHp, C), 0)
+    i = jax.lax.broadcasted_iota(jnp.int32, (CHp, C), 1)
+    rep = ((q // H == i) & (q < CH)).astype(dtype)
+    hh = jax.lax.broadcasted_iota(jnp.int32, (Hp, CHp), 0)
+    qq = jax.lax.broadcasted_iota(jnp.int32, (Hp, CHp), 1)
+    sel = ((qq % H == hh) & (qq < CH)).astype(dtype)
+    return rep, sel
+
+
+def _dot(a, b):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def _stage_forward(y, fr, slab, w1t, b1, w2t, b2, rep, sel, C):
+    """One vector-field evaluation in lane layout.  y: (Hp, tile)."""
+    dx = slab[0:C] + (slab[C : 2 * C] + slab[2 * C : 3 * C] * fr) * fr
+    h1 = jnp.maximum(_dot(w1t, y) + b1, 0.0)
+    g = jnp.tanh(_dot(w2t, h1) + b2)
+    k = _dot(sel, g * _dot(rep, dx))
+    return k, h1, g, dx
+
+
+def _fwd_kernel(ct_ref, z0_ref, w1_ref, b1_ref, w2_ref, b2_ref, zout_ref, zscr,
+                *, tableau, m, dt_sub, C, H):
+    alpha, beta, c_sol = tableau
+    stage_times = (0.0,) + tuple(alpha)
+    n_stages = len(c_sol)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        zscr[:, :] = z0_ref[:, :]
+
+    CHp = w2_ref.shape[0]
+    rep, sel = _selection_matrices(C, H, CHp, jnp.float32)
+    w1t, b1 = w1_ref[:, :], b1_ref[:, :]
+    w2t, b2 = w2_ref[:, :], b2_ref[:, :]
+    slab = ct_ref[:, :]
+    z = zscr[:, :]
+
+    for s in range(m):
+        base = s * dt_sub
+        ks = []
+        for stg in range(n_stages):
+            y = z
+            if stg:
+                for q, coef in enumerate(beta[stg - 1]):
+                    if coef != 0.0:
+                        y = y + (dt_sub * coef) * ks[q]
+            fr = base + stage_times[stg] * dt_sub
+            k, _h1, _g, _dx = _stage_forward(y, fr, slab, w1t, b1, w2t, b2, rep, sel, C)
+            ks.append(k)
+        for q, coef in enumerate(c_sol):
+            if coef != 0.0:
+                z = z + (dt_sub * coef) * ks[q]
+
+    zscr[:, :] = z
+    zout_ref[:, :] = z
+
+
+def _stage_backward(u, y, fr, h1, g, dx, w1t, w2t, rep, sel, C):
+    """VJP of one vector-field evaluation.  u: cotangent of k, (Hp, tile).
+
+    Returns (dy, dw1t, db1, dw2t, db2, ddx)."""
+    dxrep = _dot(rep, dx)
+    urep = _dot(sel.T, u)
+    dg = urep * dxrep
+    ddx = _dot(rep.T, urep * g)
+    dpre2 = dg * (1.0 - g * g)
+    # dw2t (CHp, W) = dpre2 (CHp, tile) . h1 (W, tile) contracted over tile.
+    dw2t = jax.lax.dot_general(
+        dpre2, h1, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    db2 = jnp.sum(dpre2, axis=1, keepdims=True)
+    # dh1 (W, tile) = w2t^T @ dpre2, contracted over CHp.
+    dh1 = jax.lax.dot_general(
+        w2t, dpre2, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dpre1 = dh1 * (h1 > 0.0).astype(h1.dtype)
+    dw1t = jax.lax.dot_general(
+        dpre1, y, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    db1 = jnp.sum(dpre1, axis=1, keepdims=True)
+    dy = jax.lax.dot_general(
+        w1t, dpre1, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    return dy, dw1t, db1, dw2t, db2, ddx
+
+
+def _bwd_kernel(ct_ref, zin_ref, gz_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                dct_ref, dz0_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+                lam_scr, dw1_acc, db1_acc, dw2_acc, db2_acc,
+                *, tableau, m, dt_sub, C, H):
+    alpha, beta, c_sol = tableau
+    stage_times = (0.0,) + tuple(alpha)
+    n_stages = len(c_sol)
+    jr = pl.program_id(1)
+
+    @pl.when(jr == 0)
+    def _():
+        lam_scr[:, :] = jnp.zeros_like(lam_scr)
+        dw1_acc[:, :] = jnp.zeros_like(dw1_acc)
+        db1_acc[:, :] = jnp.zeros_like(db1_acc)
+        dw2_acc[:, :] = jnp.zeros_like(dw2_acc)
+        db2_acc[:, :] = jnp.zeros_like(db2_acc)
+
+    CHp = w2_ref.shape[0]
+    rep, sel = _selection_matrices(C, H, CHp, jnp.float32)
+    w1t, b1 = w1_ref[:, :], b1_ref[:, :]
+    w2t, b2 = w2_ref[:, :], b2_ref[:, :]
+    slab = ct_ref[:, :]
+    lam = lam_scr[:, :] + gz_ref[:, :]
+
+    def run_stages(y0, base, save):
+        ks, ys, h1s, gs, dxs = [], [], [], [], []
+        for stg in range(n_stages):
+            y = y0
+            if stg:
+                for q, coef in enumerate(beta[stg - 1]):
+                    if coef != 0.0:
+                        y = y + (dt_sub * coef) * ks[q]
+            fr = base + stage_times[stg] * dt_sub
+            k, h1, g, dx = _stage_forward(y, fr, slab, w1t, b1, w2t, b2, rep, sel, C)
+            ks.append(k)
+            if save:
+                ys.append(y)
+                h1s.append(h1)
+                gs.append(g)
+                dxs.append(dx)
+        return ks, ys, h1s, gs, dxs
+
+    def substep_out(z, ks):
+        for q, coef in enumerate(c_sol):
+            if coef != 0.0:
+                z = z + (dt_sub * coef) * ks[q]
+        return z
+
+    # Recompute the substep chain z_0..z_{m-1} from the stored knot state.
+    zs = [zin_ref[:, :]]
+    for s in range(m - 1):
+        ks, _, _, _, _ = run_stages(zs[-1], s * dt_sub, save=False)
+        zs.append(substep_out(zs[-1], ks))
+
+    tile_w = slab.shape[1]
+    db_acc = jnp.zeros((C, tile_w), slab.dtype)
+    dc_acc = jnp.zeros((C, tile_w), slab.dtype)
+    dd_acc = jnp.zeros((C, tile_w), slab.dtype)
+    for s in reversed(range(m)):
+        base = s * dt_sub
+        _ks, ys, h1s, gs, dxs = run_stages(zs[s], base, save=True)
+        v = [None] * n_stages
+        for stg in reversed(range(n_stages)):
+            u = None
+            if c_sol[stg] != 0.0:
+                u = (dt_sub * c_sol[stg]) * lam
+            for s2 in range(stg + 1, n_stages):
+                coef = beta[s2 - 1][stg]
+                if coef != 0.0:
+                    term = (dt_sub * coef) * v[s2]
+                    u = term if u is None else u + term
+            if u is None:
+                u = jnp.zeros_like(lam)
+            fr = base + stage_times[stg] * dt_sub
+            dy, dw1t, db1_, dw2t, db2_, ddx = _stage_backward(
+                u, ys[stg], fr, h1s[stg], gs[stg], dxs[stg], w1t, w2t, rep, sel, C
+            )
+            v[stg] = dy
+            dw1_acc[:, :] += dw1t
+            db1_acc[:, :] += db1_
+            dw2_acc[:, :] += dw2t
+            db2_acc[:, :] += db2_
+            db_acc = db_acc + ddx
+            dc_acc = dc_acc + fr * ddx
+            dd_acc = dd_acc + (fr * fr) * ddx
+        for stg in range(n_stages):
+            lam = lam + v[stg]
+
+    lam_scr[:, :] = lam
+    dz0_ref[:, :] = lam
+    dct_ref[:, :] = jnp.concatenate(
+        [db_acc, dc_acc, dd_acc,
+         jnp.zeros((_SLAB - 3 * C, tile_w), slab.dtype)], axis=0)
+    dw1_ref[0] = dw1_acc[:, :]
+    db1_ref[0] = db1_acc[:, :]
+    dw2_ref[0] = dw2_acc[:, :]
+    db2_ref[0] = db2_acc[:, :]
+
+
+@functools.lru_cache(maxsize=64)
+def _make_fused_solve(n, tile, n_tiles, m, dt_sub, tableau, C, H, W, CHp,
+                      interpret):
+    """Builds the custom_vjp'd solve over kernel-layout operands.
+
+    Operands (all float32):
+      ct2  (n*16, Bp)  — per-interval slabs [b; two_c; three_d; 0-pad] rows
+      z0t  (Hp, Bp)
+      w1t  (W, Hp), b1 (W, 1), w2t (CHp, W), b2 (CHp, 1)
+    Returns zout (n*Hp, Bp): the state at knots 1..n, batch in lanes.
+    """
+    Hp = _round_up(H, 8)
+    Bp = tile * n_tiles
+    grid = (n_tiles, n)
+
+    slab_spec = pl.BlockSpec((_SLAB, tile), lambda i, j: (j, i),
+                             memory_space=pltpu.VMEM)
+    slab_spec_rev = pl.BlockSpec((_SLAB, tile), lambda i, jr: (n - 1 - jr, i),
+                                 memory_space=pltpu.VMEM)
+    z_spec = pl.BlockSpec((Hp, tile), lambda i, j: (j, i),
+                          memory_space=pltpu.VMEM)
+    z_spec_rev = pl.BlockSpec((Hp, tile), lambda i, jr: (n - 1 - jr, i),
+                              memory_space=pltpu.VMEM)
+    z0_spec = pl.BlockSpec((Hp, tile), lambda i, j: (0, i),
+                           memory_space=pltpu.VMEM)
+
+    def rep_spec(shape):
+        zero = (0,) * len(shape)
+        return pl.BlockSpec(shape, lambda i, j, _z=zero: _z,
+                            memory_space=pltpu.VMEM)
+
+    fwd_call = pl.pallas_call(
+        functools.partial(_fwd_kernel, tableau=tableau, m=m, dt_sub=dt_sub,
+                          C=C, H=H),
+        out_shape=jax.ShapeDtypeStruct((n * Hp, Bp), jnp.float32),
+        grid=grid,
+        in_specs=[slab_spec, z0_spec, rep_spec((W, Hp)), rep_spec((W, 1)),
+                  rep_spec((CHp, W)), rep_spec((CHp, 1))],
+        out_specs=z_spec,
+        scratch_shapes=[pltpu.VMEM((Hp, tile), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * 4 * (H * W + W * C * H) * n * Bp,
+            bytes_accessed=4 * n * Bp * (_SLAB + 2 * Hp),
+            transcendentals=m * 4 * n * Bp * C * H,
+        ),
+        interpret=interpret,
+    )
+
+    tile_out_spec = lambda shape: pl.BlockSpec(
+        (1,) + shape, lambda i, jr: (i,) + (0,) * len(shape),
+        memory_space=pltpu.VMEM)
+
+    bwd_call = pl.pallas_call(
+        functools.partial(_bwd_kernel, tableau=tableau, m=m, dt_sub=dt_sub,
+                          C=C, H=H),
+        out_shape=(
+            jax.ShapeDtypeStruct((n * _SLAB, Bp), jnp.float32),   # dct
+            jax.ShapeDtypeStruct((Hp, Bp), jnp.float32),          # dz0
+            jax.ShapeDtypeStruct((n_tiles, W, Hp), jnp.float32),  # dw1 parts
+            jax.ShapeDtypeStruct((n_tiles, W, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, CHp, W), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, CHp, 1), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[slab_spec_rev, z_spec_rev, z_spec_rev,
+                  rep_spec((W, Hp)), rep_spec((W, 1)),
+                  rep_spec((CHp, W)), rep_spec((CHp, 1))],
+        out_specs=(slab_spec_rev, z0_spec,
+                   tile_out_spec((W, Hp)), tile_out_spec((W, 1)),
+                   tile_out_spec((CHp, W)), tile_out_spec((CHp, 1))),
+        scratch_shapes=[
+            pltpu.VMEM((Hp, tile), jnp.float32),
+            pltpu.VMEM((W, Hp), jnp.float32),
+            pltpu.VMEM((W, 1), jnp.float32),
+            pltpu.VMEM((CHp, W), jnp.float32),
+            pltpu.VMEM((CHp, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=6 * m * 4 * (H * W + W * C * H) * n * Bp,
+            bytes_accessed=4 * n * Bp * (2 * _SLAB + 3 * Hp),
+            transcendentals=2 * m * 4 * n * Bp * C * H,
+        ),
+        interpret=interpret,
+    )
+
+    @jax.custom_vjp
+    def solve(ct2, z0t, w1t, b1, w2t, b2):
+        return fwd_call(ct2, z0t, w1t, b1, w2t, b2)
+
+    def solve_fwd(ct2, z0t, w1t, b1, w2t, b2):
+        zout = fwd_call(ct2, z0t, w1t, b1, w2t, b2)
+        return zout, (ct2, z0t, w1t, b1, w2t, b2, zout)
+
+    def solve_bwd(res, gz):
+        ct2, z0t, w1t, b1, w2t, b2, zout = res
+        # zin slab j = state at knot j (z0 for j = 0).
+        zin = jnp.concatenate([z0t, zout[: (n - 1) * Hp]], axis=0)
+        dct, dz0, dw1p, db1p, dw2p, db2p = bwd_call(
+            ct2, zin, gz, w1t, b1, w2t, b2
+        )
+        return (dct, dz0, jnp.sum(dw1p, axis=0), jnp.sum(db1p, axis=0),
+                jnp.sum(dw2p, axis=0), jnp.sum(db2p, axis=0))
+
+    solve.defvjp(solve_fwd, solve_bwd)
+    return solve
+
+
+_TABLEAUS = {
+    "euler": ((), (), (1.0,)),
+    "midpoint": ((0.5,), ((0.5,),), (0.0, 1.0)),
+    "heun": ((1.0,), ((1.0,),), (0.5, 0.5)),
+    "rk4": ((0.5, 0.5, 1.0), ((0.5,), (0.0, 0.5), (0.0, 0.0, 1.0)),
+            (1 / 6, 1 / 3, 1 / 3, 1 / 6)),
+}
+
+
+def try_fused_mlp_pallas(rows, z0, field, method, m, dt_sub, n):
+    """Attempt the fused Pallas solve.
+
+    rows: (b, two_c, three_d) spline rows, each (..., n, C); z0 (..., H);
+    field: an MLPVectorField; m substeps of size dt_sub per interval (uniform
+    knot spacing).  Returns knots (n + 1, ..., H) time-leading (knot 0 = z0),
+    or None when not applicable.
+    """
+    if _FORCE is False:
+        return None
+    interpret = False
+    if not _on_tpu():
+        if _FORCE is not True:
+            return None
+        interpret = True
+    if method not in _TABLEAUS or m > MAX_SUBSTEPS:
+        return None
+    b_rows, c_rows, d_rows = rows
+    C = b_rows.shape[-1]
+    H = field.hidden_channels
+    w1, b1, w2, b2 = field.w1, field.b1, field.w2, field.b2
+    W = w1.shape[-1]
+    if w1.shape != (H, W) or w2.shape != (W, H * C) or field.input_channels != C:
+        return None
+    if W > MAX_WIDTH or C * H > MAX_CONTRACT or 3 * C > _SLAB:
+        return None
+    arrays = (b_rows, c_rows, d_rows, z0, w1, b1, w2, b2)
+    if any(a.dtype != jnp.float32 for a in arrays):
+        return None
+    batch = jnp.broadcast_shapes(b_rows.shape[:-2], z0.shape[:-1])
+    B = int(np.prod(batch, dtype=np.int64)) if batch else 1
+
+    Hp = _round_up(H, 8)
+    CHp = _round_up(C * H, 8)
+    Bp = _round_up(max(B, 1), _LANES)
+    tile = min(1024, Bp)
+    n_tiles = Bp // tile
+
+    def flat_rows(r):
+        return jnp.broadcast_to(r, batch + r.shape[-2:]).reshape(B, n, C)
+
+    # Kernel-layout packing (plain XLA, hence differentiable — the custom_vjp
+    # wraps only the Pallas calls, so gradients through this packing are
+    # handled by autodiff).
+    ct = jnp.concatenate(
+        [flat_rows(b_rows), flat_rows(c_rows), flat_rows(d_rows),
+         jnp.zeros((B, n, _SLAB - 3 * C), jnp.float32)], axis=-1)
+    ct2 = jnp.transpose(ct, (1, 2, 0)).reshape(n * _SLAB, B)
+    ct2 = jnp.pad(ct2, ((0, 0), (0, Bp - B)))
+
+    z0f = jnp.broadcast_to(z0, batch + z0.shape[-1:]).reshape(B, H)
+    z0t = jnp.pad(z0f.T, ((0, Hp - H), (0, Bp - B)))
+
+    w1t = jnp.pad(w1.T, ((0, 0), (0, Hp - H)))  # (W, Hp)
+    b1c = b1.reshape(W, 1)
+    # Permute vector-field columns from the model's (h, i) = h*C + i flat
+    # order to the kernel's i*H + h order, transpose, pad rows to CHp.
+    w2p = w2.reshape(W, H, C).transpose(0, 2, 1).reshape(W, C * H)
+    w2t = jnp.pad(w2p.T, ((0, CHp - C * H), (0, 0)))  # (CHp, W)
+    b2p = b2.reshape(H, C).T.reshape(C * H, 1)
+    b2c = jnp.pad(b2p, ((0, CHp - C * H), (0, 0)))
+
+    solve = _make_fused_solve(n, tile, n_tiles, m, float(dt_sub),
+                              _TABLEAUS[method], C, H, W, CHp, interpret)
+    zout = solve(ct2, z0t, w1t, b1c, w2t, b2c)  # (n*Hp, Bp)
+
+    knots = zout.reshape(n, Hp, Bp)[:, :H, :B]
+    knots = jnp.moveaxis(knots, 1, -1).reshape((n,) + batch + (H,))
+    z0b = jnp.broadcast_to(z0f.reshape(batch + (H,)), batch + (H,))
+    return jnp.concatenate([z0b[None], knots], axis=0)

@@ -8,7 +8,39 @@ fused with the spline-derivative gather; state may be any pytree (which
 subsumes the reference's tensor-or-tuple handling at solver.py:125-133).
 """
 
+import jax
 import jax.numpy as jnp
+
+
+@jax.tree_util.register_pytree_node_class
+class MLPVectorField:
+    """The canonical Neural CDE vector field — Linear -> ReLU -> Linear ->
+    tanh, reshaped to (..., hidden, input) (reference
+    time_series_classification.py:20-51) — as a *recognizable* pytree callable.
+
+    Any plain closure with the same math works everywhere in ``cdeint``; this
+    class additionally lets the fixed-step fast path fuse the entire solve
+    into one Pallas TPU kernel (solvers/fused_pallas.py), because the kernel
+    needs the MLP's structure, not just a black-box callable.
+    """
+
+    def __init__(self, w1, b1, w2, b2, hidden_channels, input_channels):
+        self.w1, self.b1, self.w2, self.b2 = w1, b1, w2, b2
+        self.hidden_channels = int(hidden_channels)
+        self.input_channels = int(input_channels)
+
+    def tree_flatten(self):
+        return ((self.w1, self.b1, self.w2, self.b2),
+                (self.hidden_channels, self.input_channels))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    def __call__(self, t, z):
+        h = jnp.maximum(z @ self.w1 + self.b1, 0.0)
+        h = jnp.tanh(h @ self.w2 + self.b2)
+        return h.reshape(h.shape[:-1] + (self.hidden_channels, self.input_channels))
 
 
 def _matvec(vector_field, control_gradient):
