@@ -394,6 +394,12 @@ def try_fused_mlp_pallas(rows, z0, field, method, m, dt_sub, n):
         if _FORCE is not True:
             return None
         interpret = True
+    elif jax.device_count() > 1:
+        # Multi-chip: GSPMD partitioning of a pallas_call is not part of this
+        # kernel's contract — decline so sharded training goes through the
+        # (fully partitionable) XLA scan fast path.  Explicit per-shard use
+        # via shard_map still works by calling this inside the shard.
+        return None
     if method not in _TABLEAUS or m > MAX_SUBSTEPS:
         return None
     b_rows, c_rows, d_rows = rows
