@@ -203,3 +203,43 @@ def test_adjoint_routes_to_fused_kernel_and_matches_backsolve(forced_interpret):
     vb = jnp.concatenate([x.ravel() for x in jax.tree_util.tree_leaves(g_fp)])
     cos = jnp.vdot(va, vb) / (jnp.linalg.norm(va) * jnp.linalg.norm(vb))
     assert cos > 0.9, cos
+
+
+@pytest.mark.parametrize("adjoint", [True, False])
+def test_fused_reversible_heun_matches_xla_path(forced_interpret, adjoint):
+    """Fused reversible-Heun (both adjoint modes) vs the XLA reversible /
+    direct paths.  Gradients are taken w.r.t. the raw data x (through the
+    Hermite construction), z0 and the MLP parameters — quantities identical
+    under either C1-equivalent knot-evaluation routing."""
+    C, H, W, B, L = 3, 4, 16, 3, 7
+    r = np.random.default_rng(2)
+    x = jnp.asarray(r.standard_normal((B, L, C)).astype(np.float32))
+    w1 = jnp.asarray(r.standard_normal((H, W)) * 0.2, jnp.float32)
+    b1 = jnp.asarray(r.standard_normal((W,)) * 0.2, jnp.float32)
+    w2 = jnp.asarray(r.standard_normal((W, H * C)) * 0.2, jnp.float32)
+    b2 = jnp.asarray(r.standard_normal((H * C,)) * 0.2, jnp.float32)
+    z0 = jnp.asarray(r.standard_normal((B, H)).astype(np.float32))
+    t = jnp.asarray([0.0, 3.0, 6.0], jnp.float32)
+
+    def loss(args, use_fused):
+        x_, z0_, w1_, b1_, w2_, b2_ = args
+        co = torchcde_tpu.hermite_cubic_coefficients_with_backward_differences(x_)
+        fused_pallas.force_fused_pallas(True if use_fused else False)
+        try:
+            X = CubicSpline(co)
+            field = MLPVectorField(w1_, b1_, w2_, b2_, H, C)
+            out = torchcde_tpu.cdeint(X=X, func=field, z0=z0_, t=t,
+                                      adjoint=adjoint, method="reversible_heun",
+                                      backend="torchsde", dt=0.5)
+        finally:
+            fused_pallas.force_fused_pallas(None)
+        return jnp.sum(jnp.sin(out)), out
+
+    args = (x, z0, w1, b1, w2, b2)
+    (_, out_ref), g_ref = jax.value_and_grad(loss, has_aux=True)(args, False)
+    (_, out_fp), g_fp = jax.value_and_grad(loss, has_aux=True)(args, True)
+    assert out_fp.shape == out_ref.shape
+    assert jnp.allclose(out_ref, out_fp, rtol=1e-4, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_fp)):
+        assert jnp.allclose(a, b, rtol=1e-3, atol=1e-4)

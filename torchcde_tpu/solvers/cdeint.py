@@ -250,6 +250,16 @@ def cdeint(X, func, z0, t, adjoint=True, backend="native", **kwargs):
             )
         if step_size is None:
             step_size = float(np.max(np.diff(np.asarray(t, dtype=np.float64))))
+
+        # Knot-aligned MLP solves fuse the whole reversible walk — forward
+        # and the exact inverse-map adjoint — into single Pallas kernels
+        # (solvers/fused_pallas.py); declines off-TPU / outside its caps.
+        from .fused_pallas import try_fused_reversible_heun
+
+        out = try_fused_reversible_heun(X, func, z0, t, step_size)
+        if out is not None:
+            return jax.tree_util.tree_map(lambda o: jnp.moveaxis(o, 0, -2), out)
+
         rhs_conv, consts = jax.closure_convert(rhs, t[0], z0)
         out = reversible_heun_solve(
             lambda s, z, c: rhs_conv(s, z, *c), list(consts), z0, t, step_size
@@ -334,9 +344,17 @@ def cdeint(X, func, z0, t, adjoint=True, backend="native", **kwargs):
             # the step scan, eliminating per-stage searchsorted + gathers
             # (see solvers/fused_fixed.py); produces the identical step
             # sequence or declines.
-            from .fused_fixed import try_fused_fixed
+            if method == "reversible_heun" and step_size is not None:
+                # The fused reversible kernel's inverse-map backward yields
+                # the same exact discrete gradients as direct autodiff
+                # through the step scan, so it serves adjoint=False too.
+                from .fused_pallas import try_fused_reversible_heun
 
-            out = try_fused_fixed(X, func, z0, t, method, step_size)
+                out = try_fused_reversible_heun(X, func, z0, t, step_size)
+            else:
+                from .fused_fixed import try_fused_fixed
+
+                out = try_fused_fixed(X, func, z0, t, method, step_size)
         if out is None:
             out = odeint(rhs, z0, t, cfg, jump_t, collect_stats=return_stats)
             if return_stats:

@@ -37,34 +37,27 @@ def _knot_indices(grid, ts):
 _STATE_FREE = ("euler", "midpoint", "heun", "rk4")
 
 
-def try_fused_fixed(X, func, z0, ts, method, step_size, pallas_only=False):
-    """Returns the solution (time-leading) or None if not applicable.
+def plan_fixed_grid(X, ts, step_size):
+    """Host-side analysis shared by the fused fast paths.
 
-    ``pallas_only=True`` restricts to the fully-fused Pallas kernel path
-    (used by the adjoint dispatch, where falling back to the XLA step scan
-    would silently abandon the adjoint's memory contract).
+    Returns ``(rows, grid, out_idx, j0, jN, m, step_size_val, uniform)`` when
+    the solve is a knot-aligned fixed-step walk over a cubic control, else
+    None.  Preconditions: concrete knot grid and output times, output times
+    on the grid, and a concrete step_size dividing every knot span the same
+    number (m) of times.
 
-    Preconditions (so the step sequence is *identical* to the general path):
-    state-free RK method, array state, concrete knot grid and output times,
-    output times on the grid, and a concrete step_size dividing every knot
-    span.
+    LinearInterpolation is deliberately NOT fusable: its derivative is
+    piecewise-constant and the reference's bucketize semantics are
+    left-continuous at interior knots (interpolation_linear.py:203-210), so a
+    stage landing exactly on a knot reads the *previous* interval's slope.
+    The general path reproduces that; a row-streamed walk would not.  Cubic
+    derivatives are continuous at knots, so the fused paths agree there.
     """
-    if method not in _STATE_FREE or isinstance(z0, (tuple, list)):
-        return None
     if step_size is None or not is_concrete(step_size):
         return None
-    stepper = STEPPERS[method]
-    if isinstance(X, CubicSpline):
-        rows = (X._a, X._b, X._two_c, X._three_d)
-    else:
-        # LinearInterpolation is deliberately NOT fused: its derivative is
-        # piecewise-constant and the reference's bucketize semantics are
-        # left-continuous at interior knots (interpolation_linear.py:203-210),
-        # so an RK stage landing exactly on a knot reads the *previous*
-        # interval's slope.  The general path reproduces that; a row-streamed
-        # scan would not.  Cubic derivatives are continuous at knots, so the
-        # fused path is bit-identical there.
+    if not isinstance(X, CubicSpline):
         return None
+    rows = (X._a, X._b, X._two_c, X._three_d)
     grid = X.grid_points
     if not isinstance(grid, np.ndarray):
         return None
@@ -92,8 +85,31 @@ def try_fused_fixed(X, func, z0, ts, method, step_size, pallas_only=False):
         np.round(m_per) * step_size_val, spans, rtol=1e-9, atol=1e-12
     ) or not np.all(np.round(m_per) == m):
         return None
+    uniform = bool(np.allclose(spans, spans[0], rtol=1e-9, atol=1e-12))
+    return rows, grid, out_idx, j0, jN, m, step_size_val, uniform
 
-    if np.allclose(spans, spans[0], rtol=1e-9, atol=1e-12):
+
+def try_fused_fixed(X, func, z0, ts, method, step_size, pallas_only=False):
+    """Returns the solution (time-leading) or None if not applicable.
+
+    ``pallas_only=True`` restricts to the fully-fused Pallas kernel path
+    (used by the adjoint dispatch, where falling back to the XLA step scan
+    would silently abandon the adjoint's memory contract).
+
+    Preconditions: state-free RK method, array state, plus plan_fixed_grid's
+    grid conditions (so the step sequence is *identical* to the general
+    path).
+    """
+    if method not in _STATE_FREE or isinstance(z0, (tuple, list)):
+        return None
+    plan = plan_fixed_grid(X, ts, step_size)
+    if plan is None:
+        return None
+    rows, grid, out_idx, j0, jN, m, step_size_val, uniform = plan
+    stepper = STEPPERS[method]
+    spans = np.diff(grid[j0 : jN + 1].astype(np.float64))
+
+    if uniform:
         # Uniform knot spacing + the canonical MLP vector field: the whole
         # solve can run inside one Pallas TPU kernel (no per-stage HLO
         # dispatch; see solvers/fused_pallas.py).  Declines (returns None)

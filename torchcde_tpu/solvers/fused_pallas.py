@@ -455,3 +455,302 @@ def try_fused_mlp_pallas(rows, z0, field, method, m, dt_sub, n):
     knots = jnp.moveaxis(knots, 1, -1).reshape((n,) + batch + (H,))
     z0b = jnp.broadcast_to(z0f.reshape(batch + (H,)), batch + (H,))
     return jnp.concatenate([z0b[None], knots], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Reversible Heun (the torchsde-backend capability, reference README.md:105)
+# as the same fused-kernel design: forward carries (y, yhat) across the
+# interval grid; backward walks the grid in reverse, reconstructing states
+# with the algebraically-exact inverse map (O(1) residual memory beyond the
+# per-knot outputs) and accumulating the per-step VJPs — the math of
+# solvers/reversible_adjoint.py with zero per-stage dispatch.
+# ---------------------------------------------------------------------------
+
+
+def _rev_fwd_kernel(ct_ref, z0_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                    y_ref, yhat_ref, y_scr, yhat_scr, *, m, dt_sub, C, H):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        y_scr[:, :] = z0_ref[:, :]
+        yhat_scr[:, :] = z0_ref[:, :]
+
+    CHp = w2_ref.shape[0]
+    rep, sel = _selection_matrices(C, H, CHp, jnp.float32)
+    w1t, b1 = w1_ref[:, :], b1_ref[:, :]
+    w2t, b2 = w2_ref[:, :], b2_ref[:, :]
+    slab = ct_ref[:, :]
+    y, yhat = y_scr[:, :], yhat_scr[:, :]
+
+    fhat, _h, _g, _dx = _stage_forward(yhat, 0.0, slab, w1t, b1, w2t, b2,
+                                       rep, sel, C)
+    for s in range(m):
+        yhat1 = 2.0 * y - yhat + dt_sub * fhat
+        fhat1, _h, _g, _dx = _stage_forward(yhat1, (s + 1) * dt_sub, slab,
+                                            w1t, b1, w2t, b2, rep, sel, C)
+        y = y + (0.5 * dt_sub) * (fhat + fhat1)
+        yhat, fhat = yhat1, fhat1
+
+    y_scr[:, :] = y
+    yhat_scr[:, :] = yhat
+    y_ref[:, :] = y
+    yhat_ref[:, :] = yhat
+
+
+def _rev_bwd_kernel(ct_ref, yk_ref, yhk_ref, gz_ref,
+                    w1_ref, b1_ref, w2_ref, b2_ref,
+                    dct_ref, dz0_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+                    ay_scr, ayh_scr, dw1_acc, db1_acc, dw2_acc, db2_acc,
+                    *, m, dt_sub, C, H):
+    jr = pl.program_id(1)
+
+    @pl.when(jr == 0)
+    def _():
+        ay_scr[:, :] = jnp.zeros_like(ay_scr)
+        ayh_scr[:, :] = jnp.zeros_like(ayh_scr)
+        dw1_acc[:, :] = jnp.zeros_like(dw1_acc)
+        db1_acc[:, :] = jnp.zeros_like(db1_acc)
+        dw2_acc[:, :] = jnp.zeros_like(dw2_acc)
+        db2_acc[:, :] = jnp.zeros_like(db2_acc)
+
+    CHp = w2_ref.shape[0]
+    rep, sel = _selection_matrices(C, H, CHp, jnp.float32)
+    w1t, b1 = w1_ref[:, :], b1_ref[:, :]
+    w2t, b2 = w2_ref[:, :], b2_ref[:, :]
+    slab = ct_ref[:, :]
+
+    ay = ay_scr[:, :] + gz_ref[:, :]
+    ayh = ayh_scr[:, :]
+    y1, yhat1 = yk_ref[:, :], yhk_ref[:, :]
+
+    tile_w = slab.shape[1]
+    db_acc = jnp.zeros((C, tile_w), slab.dtype)
+    dc_acc = jnp.zeros((C, tile_w), slab.dtype)
+    dd_acc = jnp.zeros((C, tile_w), slab.dtype)
+
+    for s in reversed(range(m)):
+        fr1 = (s + 1) * dt_sub
+        fr0 = s * dt_sub
+        # Exact inverse map reconstructs the step's inputs; the two stage
+        # evaluations double as the recompute for the step's VJP.
+        f1, h11, g1, dx1 = _stage_forward(yhat1, fr1, slab, w1t, b1, w2t, b2,
+                                          rep, sel, C)
+        yhat0 = 2.0 * y1 - yhat1 - dt_sub * f1
+        f0, h10, g0, dx0 = _stage_forward(yhat0, fr0, slab, w1t, b1, w2t, b2,
+                                          rep, sel, C)
+        y0 = y1 - (0.5 * dt_sub) * (f1 + f0)
+
+        # VJP of: yhat1 = 2 y0 - yhat0 + dt f(yhat0); y1 = y0 + dt/2 (f(yhat0) + f(yhat1)).
+        u1 = (0.5 * dt_sub) * ay
+        v1, dw1t, db1_, dw2t, db2_, ddx1 = _stage_backward(
+            u1, yhat1, fr1, h11, g1, dx1, w1t, w2t, rep, sel, C)
+        dw1_acc[:, :] += dw1t
+        db1_acc[:, :] += db1_
+        dw2_acc[:, :] += dw2t
+        db2_acc[:, :] += db2_
+        db_acc, dc_acc, dd_acc = (db_acc + ddx1, dc_acc + fr1 * ddx1,
+                                  dd_acc + (fr1 * fr1) * ddx1)
+        ayh1 = ayh + v1
+        u0 = (0.5 * dt_sub) * ay + dt_sub * ayh1
+        v0, dw1t, db1_, dw2t, db2_, ddx0 = _stage_backward(
+            u0, yhat0, fr0, h10, g0, dx0, w1t, w2t, rep, sel, C)
+        dw1_acc[:, :] += dw1t
+        db1_acc[:, :] += db1_
+        dw2_acc[:, :] += dw2t
+        db2_acc[:, :] += db2_
+        db_acc, dc_acc, dd_acc = (db_acc + ddx0, dc_acc + fr0 * ddx0,
+                                  dd_acc + (fr0 * fr0) * ddx0)
+        ay = ay + 2.0 * ayh1
+        ayh = -ayh1 + v0
+        y1, yhat1 = y0, yhat0
+
+    ay_scr[:, :] = ay
+    ayh_scr[:, :] = ayh
+    # After the earliest interval, y_0 = yhat_0 = z0: both adjoints flow there.
+    dz0_ref[:, :] = ay + ayh
+    dct_ref[:, :] = jnp.concatenate(
+        [db_acc, dc_acc, dd_acc,
+         jnp.zeros((_SLAB - 3 * C, tile_w), slab.dtype)], axis=0)
+    dw1_ref[0] = dw1_acc[:, :]
+    db1_ref[0] = db1_acc[:, :]
+    dw2_ref[0] = dw2_acc[:, :]
+    db2_ref[0] = db2_acc[:, :]
+
+
+@functools.lru_cache(maxsize=64)
+def _make_fused_rev_solve(n, tile, n_tiles, m, dt_sub, C, H, W, CHp, interpret):
+    """Reversible-Heun analogue of _make_fused_solve; same operand layouts.
+    Returns y at knots 1..n (yhat is an internal residual)."""
+    Hp = _round_up(H, 8)
+    Bp = tile * n_tiles
+    grid = (n_tiles, n)
+
+    slab_spec = pl.BlockSpec((_SLAB, tile), lambda i, j: (j, i),
+                             memory_space=pltpu.VMEM)
+    slab_spec_rev = pl.BlockSpec((_SLAB, tile), lambda i, jr: (n - 1 - jr, i),
+                                 memory_space=pltpu.VMEM)
+    z_spec = pl.BlockSpec((Hp, tile), lambda i, j: (j, i),
+                          memory_space=pltpu.VMEM)
+    z_spec_rev = pl.BlockSpec((Hp, tile), lambda i, jr: (n - 1 - jr, i),
+                              memory_space=pltpu.VMEM)
+    z0_spec = pl.BlockSpec((Hp, tile), lambda i, j: (0, i),
+                           memory_space=pltpu.VMEM)
+
+    def rep_spec(shape):
+        zero = (0,) * len(shape)
+        return pl.BlockSpec(shape, lambda i, j, _z=zero: _z,
+                            memory_space=pltpu.VMEM)
+
+    fwd_call = pl.pallas_call(
+        functools.partial(_rev_fwd_kernel, m=m, dt_sub=dt_sub, C=C, H=H),
+        out_shape=(jax.ShapeDtypeStruct((n * Hp, Bp), jnp.float32),
+                   jax.ShapeDtypeStruct((n * Hp, Bp), jnp.float32)),
+        grid=grid,
+        in_specs=[slab_spec, z0_spec, rep_spec((W, Hp)), rep_spec((W, 1)),
+                  rep_spec((CHp, W)), rep_spec((CHp, 1))],
+        out_specs=(z_spec, z_spec),
+        scratch_shapes=[pltpu.VMEM((Hp, tile), jnp.float32),
+                        pltpu.VMEM((Hp, tile), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (m + 1) * (H * W + W * C * H) * n * Bp,
+            bytes_accessed=4 * n * Bp * (_SLAB + 3 * Hp),
+            transcendentals=(m + 1) * n * Bp * C * H,
+        ),
+        interpret=interpret,
+    )
+
+    tile_out_spec = lambda shape: pl.BlockSpec(
+        (1,) + shape, lambda i, jr: (i,) + (0,) * len(shape),
+        memory_space=pltpu.VMEM)
+
+    bwd_call = pl.pallas_call(
+        functools.partial(_rev_bwd_kernel, m=m, dt_sub=dt_sub, C=C, H=H),
+        out_shape=(
+            jax.ShapeDtypeStruct((n * _SLAB, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((Hp, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, W, Hp), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, W, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, CHp, W), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, CHp, 1), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[slab_spec_rev, z_spec_rev, z_spec_rev, z_spec_rev,
+                  rep_spec((W, Hp)), rep_spec((W, 1)),
+                  rep_spec((CHp, W)), rep_spec((CHp, 1))],
+        out_specs=(slab_spec_rev, z0_spec,
+                   tile_out_spec((W, Hp)), tile_out_spec((W, 1)),
+                   tile_out_spec((CHp, W)), tile_out_spec((CHp, 1))),
+        scratch_shapes=[
+            pltpu.VMEM((Hp, tile), jnp.float32),
+            pltpu.VMEM((Hp, tile), jnp.float32),
+            pltpu.VMEM((W, Hp), jnp.float32),
+            pltpu.VMEM((W, 1), jnp.float32),
+            pltpu.VMEM((CHp, W), jnp.float32),
+            pltpu.VMEM((CHp, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=10 * m * (H * W + W * C * H) * n * Bp,
+            bytes_accessed=4 * n * Bp * (2 * _SLAB + 4 * Hp),
+            transcendentals=2 * m * n * Bp * C * H,
+        ),
+        interpret=interpret,
+    )
+
+    @jax.custom_vjp
+    def solve(ct2, z0t, w1t, b1, w2t, b2):
+        y, _yhat = fwd_call(ct2, z0t, w1t, b1, w2t, b2)
+        return y
+
+    def solve_fwd(ct2, z0t, w1t, b1, w2t, b2):
+        y, yhat = fwd_call(ct2, z0t, w1t, b1, w2t, b2)
+        return y, (ct2, z0t, w1t, b1, w2t, b2, y, yhat)
+
+    def solve_bwd(res, gz):
+        ct2, z0t, w1t, b1, w2t, b2, y, yhat = res
+        dct, dz0, dw1p, db1p, dw2p, db2p = bwd_call(
+            ct2, y, yhat, gz, w1t, b1, w2t, b2
+        )
+        return (dct, dz0, jnp.sum(dw1p, axis=0), jnp.sum(db1p, axis=0),
+                jnp.sum(dw2p, axis=0), jnp.sum(db2p, axis=0))
+
+    solve.defvjp(solve_fwd, solve_bwd)
+    return solve
+
+
+def try_fused_reversible_heun(X, func, z0, ts, step_size):
+    """Fused-kernel reversible-Heun solve with its exact O(1)-memory adjoint.
+
+    Same applicability rules as try_fused_mlp_pallas (cubic control, uniform
+    knot spacing, dividing step, MLP field, f32, single device).  Returns the
+    time-leading solution at ``ts`` or None.
+    """
+    from .fused_fixed import plan_fixed_grid
+    from .terms import MLPVectorField
+
+    if not isinstance(func, MLPVectorField) or isinstance(z0, (tuple, list)):
+        return None
+    plan = plan_fixed_grid(X, ts, step_size)
+    if plan is None or not plan[-1]:  # uniform spacing required
+        return None
+    rows, _grid, out_idx, j0, jN, m, dt_sub, _uniform = plan
+
+    if _FORCE is False:
+        return None
+    interpret = False
+    if not _on_tpu():
+        if _FORCE is not True:
+            return None
+        interpret = True
+    elif jax.device_count() > 1:
+        return None
+    if m > MAX_SUBSTEPS:
+        return None
+
+    b_rows, c_rows, d_rows = (r[..., j0:jN, :] for r in rows[1:])
+    n = jN - j0
+    C = b_rows.shape[-1]
+    H = func.hidden_channels
+    w1, b1, w2, b2 = func.w1, func.b1, func.w2, func.b2
+    W = w1.shape[-1]
+    if w1.shape != (H, W) or w2.shape != (W, H * C) or func.input_channels != C:
+        return None
+    if W > MAX_WIDTH or C * H > MAX_CONTRACT or 3 * C > _SLAB:
+        return None
+    arrays = (b_rows, c_rows, d_rows, z0, w1, b1, w2, b2)
+    if any(a.dtype != jnp.float32 for a in arrays):
+        return None
+
+    batch = jnp.broadcast_shapes(b_rows.shape[:-2], z0.shape[:-1])
+    B = int(np.prod(batch, dtype=np.int64)) if batch else 1
+    Hp = _round_up(H, 8)
+    CHp = _round_up(C * H, 8)
+    Bp = _round_up(max(B, 1), _LANES)
+    tile = min(1024, Bp)
+    n_tiles = Bp // tile
+
+    def flat_rows(r):
+        return jnp.broadcast_to(r, batch + r.shape[-2:]).reshape(B, n, C)
+
+    ct = jnp.concatenate(
+        [flat_rows(b_rows), flat_rows(c_rows), flat_rows(d_rows),
+         jnp.zeros((B, n, _SLAB - 3 * C), jnp.float32)], axis=-1)
+    ct2 = jnp.transpose(ct, (1, 2, 0)).reshape(n * _SLAB, B)
+    ct2 = jnp.pad(ct2, ((0, 0), (0, Bp - B)))
+    z0f = jnp.broadcast_to(z0, batch + z0.shape[-1:]).reshape(B, H)
+    z0t = jnp.pad(z0f.T, ((0, Hp - H), (0, Bp - B)))
+    w1t = jnp.pad(w1.T, ((0, 0), (0, Hp - H)))
+    b1c = b1.reshape(W, 1)
+    w2p = w2.reshape(W, H, C).transpose(0, 2, 1).reshape(W, C * H)
+    w2t = jnp.pad(w2p.T, ((0, CHp - C * H), (0, 0)))
+    b2p = b2.reshape(H, C).T.reshape(C * H, 1)
+    b2c = jnp.pad(b2p, ((0, CHp - C * H), (0, 0)))
+
+    solve = _make_fused_rev_solve(n, tile, n_tiles, m, float(dt_sub),
+                                  C, H, W, CHp, interpret)
+    zout = solve(ct2, z0t, w1t, b1c, w2t, b2c)
+    knots = zout.reshape(n, Hp, Bp)[:, :H, :B]
+    knots = jnp.moveaxis(knots, 1, -1).reshape((n,) + batch + (H,))
+    z0b = jnp.broadcast_to(z0f.reshape(batch + (H,)), batch + (H,))
+    all_knots = jnp.concatenate([z0b[None], knots], axis=0)
+    return jnp.take(all_knots, jnp.asarray(out_idx - j0), axis=0)
