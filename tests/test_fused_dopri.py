@@ -1,0 +1,217 @@
+"""Tests for the fused adaptive dopri5 Pallas kernel (fused_dopri_pallas.py).
+
+Interpreter mode on CPU.  Because two floating-point implementations of the
+same PI controller realise slightly different step meshes (accumulation-order
+rounding flips accept/reject decisions), exact equivalence with the XLA path
+is only defined per-mesh: the decisive backward test replays the kernel's own
+realised mesh as a differentiable XLA computation and demands exact gradient
+agreement; the cross-path tests bound the difference by solution accuracy.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import torchcde_tpu
+from torchcde_tpu.interpolation.cubic import CubicSpline
+from torchcde_tpu.solvers import fused_dopri_pallas as fdp
+from torchcde_tpu.solvers import fused_pallas
+from torchcde_tpu.solvers.integrate import select_initial_step
+from torchcde_tpu.solvers.runge_kutta import DOPRI5, _solve_dense_midpoint
+from torchcde_tpu.solvers.terms import MLPVectorField, make_cde_rhs
+
+
+@pytest.fixture
+def forced_interpret():
+    fused_pallas.force_fused_pallas(True)
+    yield
+    fused_pallas.force_fused_pallas(None)
+
+
+def _setup(B, L, C, H, W, seed=0, scale=0.2):
+    r = np.random.default_rng(seed)
+    x = jnp.asarray(r.standard_normal((B, L, C)).astype(np.float32))
+    w1 = jnp.asarray(r.standard_normal((H, W)) * scale, jnp.float32)
+    b1 = jnp.asarray(r.standard_normal((W,)) * scale, jnp.float32)
+    w2 = jnp.asarray(r.standard_normal((W, H * C)) * scale, jnp.float32)
+    b2 = jnp.asarray(r.standard_normal((H * C,)) * scale, jnp.float32)
+    z0 = jnp.asarray(r.standard_normal((B, H)).astype(np.float32))
+    return (x, z0, w1, b1, w2, b2)
+
+
+def _loss_fn(C, H, t, rtol, atol, adjoint=False):
+    def loss(args, force):
+        x_, z0_, w1_, b1_, w2_, b2_ = args
+        co = torchcde_tpu.hermite_cubic_coefficients_with_backward_differences(x_)
+        fused_pallas.force_fused_pallas(force)
+        try:
+            X = CubicSpline(co)
+            fl = MLPVectorField(w1_, b1_, w2_, b2_, H, C)
+            out = torchcde_tpu.cdeint(X=X, func=fl, z0=z0_, t=t,
+                                      adjoint=adjoint, method="dopri5",
+                                      rtol=rtol, atol=atol)
+        finally:
+            fused_pallas.force_fused_pallas(None)
+        return jnp.sum(jnp.sin(out)), out
+
+    return loss
+
+
+def test_gradients_match_differentiable_replay_of_realised_mesh(forced_interpret):
+    """THE backward-correctness test: extract the kernel's accepted (t, dt)
+    mesh, replay those exact steps (and the dense-output quartic) as plain
+    differentiable jnp, and require exact gradient agreement."""
+    B, L, C, H, W = 3, 6, 2, 3, 8
+    args = _setup(B, L, C, H, W, seed=1, scale=0.08)
+    x, z0, w1, b1, w2, b2 = args
+    ts = np.asarray([0.0, 5.0])
+    rtol, atol = 1e-5, 1e-7
+
+    loss = _loss_fn(C, H, jnp.asarray(ts, jnp.float32), rtol, atol)
+    (l_f, out_f), g_f = jax.value_and_grad(loss, has_aux=True)(args, True)
+
+    # Reach into the kernel for the realised mesh.
+    co = torchcde_tpu.hermite_cubic_coefficients_with_backward_differences(x)
+    X = CubicSpline(co)
+    grid = X.grid_points
+    n = grid.shape[0] - 1
+    Hp = fdp._round_up(H, 8)
+    CHp = fdp._round_up(C * H, 8)
+    Bp = 128
+    rows = (X._b, X._two_c, X._three_d)
+    ct = jnp.concatenate(
+        [*rows, jnp.zeros((B, n, fdp._SLAB - 3 * C), jnp.float32)], axis=-1)
+    ct2 = jnp.pad(jnp.transpose(ct, (1, 2, 0)).reshape(n * fdp._SLAB, B),
+                  ((0, 0), (0, Bp - B)))
+    z0t = jnp.pad(z0.T, ((0, Hp - H), (0, Bp - B)))
+    w1t = jnp.pad(w1.T, ((0, 0), (0, Hp - H)))
+    w2p = w2.reshape(W, H, C).transpose(0, 2, 1).reshape(W, C * H)
+    w2t = jnp.pad(w2p.T, ((0, CHp - C * H), (0, 0)))
+    b2c = jnp.pad(b2.reshape(H, C).T.reshape(C * H, 1),
+                  ((0, CHp - C * H), (0, 0)))
+    fl = MLPVectorField(w1, b1, w2, b2, H, C)
+    rhs = make_cde_rhs(fl, X)
+    f0 = rhs(jnp.float32(0.0), z0)
+    dt0 = select_initial_step(rhs, jnp.float32(0.0), z0, 5, rtol, atol, f0)
+    dt0 = jax.lax.stop_gradient(dt0).astype(jnp.float32).reshape(1, 1)
+    solve = fdp._make_fused_dopri(
+        n, Bp, tuple(float(t) for t in ts), float(grid[0]),
+        float(np.diff(grid)[0]), rtol, atol, 4096, 2048, C, H, W, CHp, B,
+        0.9, 10.0, 0.2, True)
+    _z, _zs, tst, dtst, cnt = solve._fwd_call(
+        ct2, z0t, w1t, b1.reshape(W, 1), w2t, b2c, dt0)
+    cnt = int(cnt[0, 0])
+    t_arr = np.asarray(tst)[:cnt, 0].astype(np.float64)
+    dt_arr = np.asarray(dtst)[:cnt, 0].astype(np.float64)
+    assert cnt > 3
+    bmid = _solve_dense_midpoint(DOPRI5)
+
+    def replay_loss(args):
+        x_, z0_, w1_, b1_, w2_, b2_ = args
+        co = torchcde_tpu.hermite_cubic_coefficients_with_backward_differences(x_)
+        Xl = CubicSpline(co)
+        b_r, c_r, d_r = Xl._b, Xl._two_c, Xl._three_d
+
+        def f(tval, z):
+            j = int(np.clip(np.floor(tval), 0, n - 1))
+            fr = jnp.float32(tval - j)
+            dx = b_r[:, j] + (c_r[:, j] + d_r[:, j] * fr) * fr
+            h = jnp.maximum(z @ w1_ + b1_, 0)
+            g = jnp.tanh(h @ w2_ + b2_)
+            return jnp.sum(g.reshape(B, H, C) * dx[:, None, :], axis=-1)
+
+        z = z0_
+        emitted = None
+        for s in range(cnt):
+            t0s, dts = float(t_arr[s]), float(dt_arr[s])
+            ks = [f(t0s, z)]
+            for a_i, brow in zip(DOPRI5.alpha, DOPRI5.beta):
+                y = z
+                for q, coef in enumerate(brow):
+                    if coef != 0.0:
+                        y = y + (dts * coef) * ks[q]
+                ks.append(f(t0s + a_i * dts, y))
+            z1 = z
+            for q, coef in enumerate(DOPRI5.c_sol):
+                if coef != 0.0:
+                    z1 = z1 + (dts * coef) * ks[q]
+            y_mid = z
+            for q, coef in enumerate(bmid):
+                if coef != 0.0:
+                    y_mid = y_mid + (dts * coef) * ks[q]
+            tk = float(ts[1])
+            if (tk > t0s) and (tk <= t0s + dts):
+                theta = (tk - t0s) / dts
+                m = fdp._MINV
+                p2, p3, p4 = theta**2, theta**3, theta**4
+                cA = p2 * m[2][0] + p3 * m[1][0] + p4 * m[0][0]
+                cB = p2 * m[2][1] + p3 * m[1][1] + p4 * m[0][1]
+                cC = p2 * m[2][2] + p3 * m[1][2] + p4 * m[0][2]
+                rA = z1 - z - dts * ks[0]
+                rB = dts * (ks[-1] - ks[0])
+                rC = y_mid - z - 0.5 * dts * ks[0]
+                emitted = z + theta * dts * ks[0] + cA * rA + cB * rB + cC * rC
+            z = z1
+        out = jnp.stack([z0_, emitted], axis=0)
+        return jnp.sum(jnp.sin(out)), out
+
+    (l_r, out_r), g_r = jax.value_and_grad(replay_loss, has_aux=True)(args)
+    assert jnp.allclose(l_f, l_r, rtol=1e-5, atol=1e-6)
+    assert jnp.allclose(out_f, jnp.moveaxis(out_r, 0, -2), rtol=1e-5, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g_r),
+                    jax.tree_util.tree_leaves(g_f)):
+        assert jnp.allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_forward_matches_general_path_within_solution_accuracy(forced_interpret):
+    """Different f32 accumulation orders realise slightly different meshes;
+    both solutions must agree to within the requested accuracy."""
+    B, L, C, H, W = 4, 7, 3, 4, 16
+    args = _setup(B, L, C, H, W, seed=0, scale=0.2)
+    t = jnp.asarray([0.0, 1.7, 3.2, 6.0], jnp.float32)
+    loss = _loss_fn(C, H, t, 1e-6, 1e-8)
+    (_, out_ref), _ = jax.value_and_grad(loss, has_aux=True)(args, False)
+    (_, out_fp), _ = jax.value_and_grad(loss, has_aux=True)(args, True)
+    assert out_fp.shape == out_ref.shape
+    assert jnp.max(jnp.abs(out_ref - out_fp)) < 1e-3
+    assert bool(jnp.all(jnp.isfinite(out_fp)))
+
+
+def test_adjoint_routes_and_is_finite(forced_interpret):
+    B, L, C, H, W = 3, 6, 2, 3, 8
+    args = _setup(B, L, C, H, W, seed=4, scale=0.08)
+    t = jnp.asarray([0.0, 5.0], jnp.float32)
+    loss = _loss_fn(C, H, t, 1e-5, 1e-7, adjoint=True)
+    (l, out), g = jax.value_and_grad(loss, has_aux=True)(args, True)
+    assert bool(jnp.isfinite(l))
+    assert all(bool(jnp.all(jnp.isfinite(le))) for le in jax.tree_util.tree_leaves(g))
+    # and tracks the direct-mode fused gradients tightly (same kernel).
+    loss_d = _loss_fn(C, H, t, 1e-5, 1e-7, adjoint=False)
+    (_, _), g_d = jax.value_and_grad(loss_d, has_aux=True)(args, True)
+    for a, b in zip(jax.tree_util.tree_leaves(g), jax.tree_util.tree_leaves(g_d)):
+        assert jnp.allclose(a, b, rtol=1e-6, atol=1e-7)
+
+
+def test_declines_out_of_caps(forced_interpret):
+    """Non-uniform grids and oversized batches decline to the XLA path."""
+    B, L, C, H, W = 2, 5, 2, 3, 8
+    args = _setup(B, L, C, H, W, seed=5, scale=0.1)
+    x, z0, w1, b1, w2, b2 = args
+    co = torchcde_tpu.hermite_cubic_coefficients_with_backward_differences(x)
+    t_knots = jnp.asarray([0.0, 1.0, 2.5, 3.0, 4.0], jnp.float32)
+    X = CubicSpline(co, t_knots)
+    field = MLPVectorField(w1, b1, w2, b2, H, C)
+    out = torchcde_tpu.cdeint(X=X, func=field, z0=z0, t=X.interval,
+                              adjoint=False, method="dopri5")
+    assert out.shape == (B, 2, H)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+    cfg_like = type("cfg", (), {"rtol": 1e-4, "atol": 1e-6, "max_steps": None,
+                                "safety": 0.9, "ifactor": 10.0, "dfactor": 0.2})
+    big_batch_z0 = jnp.zeros((fdp.MAX_TILE + 128, 3), jnp.float32)
+    big_x = jnp.zeros((fdp.MAX_TILE + 128, 5, 2), jnp.float32)
+    big_co = torchcde_tpu.hermite_cubic_coefficients_with_backward_differences(big_x)
+    Xb = CubicSpline(big_co)
+    assert fdp.try_fused_dopri5(Xb, field, big_batch_z0, np.asarray([0.0, 4.0]),
+                                cfg_like) is None

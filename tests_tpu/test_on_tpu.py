@@ -204,3 +204,46 @@ def test_fused_reversible_heun_on_tpu():
         scale = max(float(jnp.max(jnp.abs(a))), 1.0)
         np.testing.assert_allclose(np.asarray(b) / scale, np.asarray(a) / scale,
                                    rtol=0.15, atol=0.08)
+
+
+def test_fused_dopri5_on_tpu():
+    """Compiled fused adaptive dopri5 vs the XLA adaptive path on hardware.
+    Meshes differ by accumulation-order rounding; solutions agree to solution
+    accuracy and gradients directionally."""
+    import torchcde_tpu as tc
+    from torchcde_tpu.interpolation.cubic import CubicSpline
+    from torchcde_tpu.solvers import fused_pallas
+    from torchcde_tpu.solvers.terms import MLPVectorField
+
+    r = np.random.default_rng(6)
+    B, L, C, H, W = 256, 10, 3, 8, 128
+    x = jnp.asarray(r.standard_normal((B, L, C)).astype(np.float32))
+    w1 = jnp.asarray(r.standard_normal((H, W)) * 0.05, jnp.float32)
+    b1 = jnp.asarray(r.standard_normal((W,)) * 0.05, jnp.float32)
+    w2 = jnp.asarray(r.standard_normal((W, H * C)) * 0.05, jnp.float32)
+    b2 = jnp.asarray(r.standard_normal((H * C,)) * 0.05, jnp.float32)
+    z0 = jnp.asarray(r.standard_normal((B, H)).astype(np.float32))
+    t = jnp.asarray([0.0, 4.5, 9.0], jnp.float32)
+
+    def loss(args, use_fused):
+        x_, z0_, w1_, b1_, w2_, b2_ = args
+        co = tc.hermite_cubic_coefficients_with_backward_differences(x_)
+        fused_pallas.force_fused_pallas(None if use_fused else False)
+        try:
+            X = CubicSpline(co)
+            field = MLPVectorField(w1_, b1_, w2_, b2_, H, C)
+            out = tc.cdeint(X=X, func=field, z0=z0_, t=t, adjoint=False,
+                            method="dopri5", rtol=1e-5, atol=1e-7)
+        finally:
+            fused_pallas.force_fused_pallas(None)
+        return jnp.sum(jnp.sin(out)), out
+
+    args = (x, z0, w1, b1, w2, b2)
+    (_, out_ref), g_ref = jax.value_and_grad(loss, has_aux=True)(args, False)
+    (_, out_fp), g_fp = jax.value_and_grad(loss, has_aux=True)(args, True)
+    np.testing.assert_allclose(np.asarray(out_fp), np.asarray(out_ref),
+                               rtol=1e-2, atol=1e-2)
+    va = jnp.concatenate([v.ravel() for v in jax.tree_util.tree_leaves(g_ref)])
+    vb = jnp.concatenate([v.ravel() for v in jax.tree_util.tree_leaves(g_fp)])
+    cos = jnp.vdot(va, vb) / (jnp.linalg.norm(va) * jnp.linalg.norm(vb))
+    assert cos > 0.99, cos

@@ -271,17 +271,26 @@ def cdeint(X, func, z0, t, adjoint=True, backend="native", **kwargs):
 
     if (adjoint and jump_t is None and adjoint_params is None
             and adjoint_method == method and adjoint_step_size == step_size):
-        # Fixed-step solves of the canonical MLP vector field route to the
-        # fused Pallas kernel (solvers/fused_pallas.py): its hand-written
-        # backward stores only the per-knot states — within the adjoint's
-        # memory contract — and reverses the exact forward computation, so it
-        # is both faster and more accurate than the continuous backsolve.
-        # Declines (None) off-TPU, for non-MLP fields, or outside its caps;
-        # the scan fast path is NOT used here (pallas_only) because direct
-        # XLA autodiff through the scan would store every stage activation.
-        from .fused_fixed import try_fused_fixed
+        # Solves of the canonical MLP vector field route to the fused Pallas
+        # kernels (solvers/fused_pallas.py, fused_dopri_pallas.py): their
+        # hand-written backwards store only per-knot / per-accepted-step
+        # states — within the adjoint's memory contract — and reverse the
+        # exact forward computation, so they are both faster and more
+        # accurate than the continuous backsolve.  Decline (None) off-TPU,
+        # for non-MLP fields, or outside the kernels' caps; the scan fast
+        # path is NOT used here (pallas_only) because direct XLA autodiff
+        # through the scan would store every stage activation.
+        out = None
+        if method == "dopri5" and step_size is None:
+            if adjoint_rtol == rtol and adjoint_atol == atol:
+                from .fused_dopri_pallas import try_fused_dopri5
 
-        out = try_fused_fixed(X, func, z0, t, method, step_size, pallas_only=True)
+                out = try_fused_dopri5(X, func, z0, t, cfg)
+        else:
+            from .fused_fixed import try_fused_fixed
+
+            out = try_fused_fixed(X, func, z0, t, method, step_size,
+                                  pallas_only=True)
         if out is not None:
             return jax.tree_util.tree_map(lambda o: jnp.moveaxis(o, 0, -2), out)
 
@@ -351,6 +360,12 @@ def cdeint(X, func, z0, t, adjoint=True, backend="native", **kwargs):
                 from .fused_pallas import try_fused_reversible_heun
 
                 out = try_fused_reversible_heun(X, func, z0, t, step_size)
+            elif method == "dopri5" and step_size is None:
+                # Fused adaptive kernel: frozen-mesh gradients identical in
+                # kind to direct backprop through the XLA adaptive loop.
+                from .fused_dopri_pallas import try_fused_dopri5
+
+                out = try_fused_dopri5(X, func, z0, t, cfg)
             else:
                 from .fused_fixed import try_fused_fixed
 
