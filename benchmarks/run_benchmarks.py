@@ -177,7 +177,15 @@ def bench_log_ode():
     def run():
         return tc.logsig_windows(xj, 3, 100.0)
 
-    t = _median_time(run, iters=3)
+    # Steady-state throughput: back-to-back calls (the "preprocess a dataset
+    # in batches" pattern) with one final sync, so the remote-tunnel's ~28 ms
+    # per-sync round trip is amortised rather than billed to every call.
+    _force(run())
+    reps = 8
+    t0 = time.perf_counter()
+    outs = [run() for _ in range(reps)]
+    _force(outs[-1])
+    t = (time.perf_counter() - t0) / reps
     return {"metric": "depth-3 logsig windows (32x10000x3, window 100)",
             "value": round(1e3 * t, 3), "unit": "ms"}
 

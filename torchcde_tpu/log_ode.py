@@ -73,14 +73,26 @@ def _logsignature_windows(x, depth, window_length, t, _version):
     t_np = np.asarray(t, dtype=np.float64)
     merged_t, boundaries, new_t = _merge_window_grid(t_np, float(window_length))
 
-    # Insert NaN rows at the new times, then fill linearly — linear because
-    # that is what signatures do between observations anyway (log_ode.py:47-49).
+    # Insert rows at the new times, filled linearly — linear because that is
+    # what signatures do between observations anyway (log_ode.py:47-49).  For
+    # NaN-free data the inserted rows are blended on the host right here (two
+    # vectorized gathers), so the device program needs no infill pass at all;
+    # data with genuinely missing values takes the masked device infill.
+    x_np = np.asarray(x)
+    needs_infill = bool(np.isnan(x_np).any())
     if merged_t.shape[0] != t_np.shape[0]:
-        x_np = np.asarray(x)
         insert_mask = ~np.isin(merged_t, t_np)
         full = np.full(x_np.shape[:-2] + (merged_t.shape[0], x_np.shape[-1]), np.nan,
                        dtype=x_np.dtype)
         full[..., ~insert_mask, :] = x_np
+        if not needs_infill:
+            ins_t = merged_t[insert_mask]
+            j = np.clip(np.searchsorted(t_np, ins_t, side="right") - 1,
+                        0, t_np.shape[0] - 2)
+            frac = ((ins_t - t_np[j]) / (t_np[j + 1] - t_np[j])).astype(x_np.dtype)
+            full[..., insert_mask, :] = (
+                (1 - frac[:, None]) * x_np[..., j, :] + frac[:, None] * x_np[..., j + 1, :]
+            )
         x = jnp.asarray(full)
     merged_t_j = jnp.asarray(merged_t, dtype=x.dtype)
     if _version == 0:
@@ -89,22 +101,25 @@ def _logsignature_windows(x, depth, window_length, t, _version):
         widths = None
     # One compiled program for the whole device-side pipeline (eager op-by-op
     # execution pays a dispatch round-trip per op on remote backends).
-    out = _device_logsig_windows(x, merged_t_j, widths, depth, tuple(boundaries))
+    out = _device_logsig_windows(
+        x, merged_t_j, widths, depth, tuple(boundaries), needs_infill
+    )
 
     if _version == 0:
         return out, jnp.asarray(new_t, dtype=x.dtype)
     return out
 
 
-@partial(jax.jit, static_argnames=("depth", "boundaries"))
-def _device_logsig_windows(x, merged_t, widths, depth, boundaries):
-    x = linear_interpolation_coeffs(x, merged_t)
+@partial(jax.jit, static_argnames=("depth", "boundaries", "needs_infill"))
+def _device_logsig_windows(x, merged_t, widths, depth, boundaries, needs_infill=True):
+    if needs_infill:
+        x = linear_interpolation_coeffs(x, merged_t)
 
     batch_shape = x.shape[:-2]
     channels = x.shape[-1]
     n_logsig = logsignature_channels(channels, depth)
 
-    logsigs = windowed_logsignatures(x, depth, jnp.asarray(boundaries))
+    logsigs = windowed_logsignatures(x, depth, np.asarray(boundaries, dtype=np.int64))
     if widths is not None:
         logsigs = logsigs * widths[..., :, None]
 

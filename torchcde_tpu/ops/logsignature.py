@@ -180,6 +180,30 @@ def prefix_signatures(increments, depth):
     return jax.lax.associative_scan(chen_product, segs, axis=-2)
 
 
+def chen_reduce(levels):
+    """Ordered Chen product along axis -2 by pairwise tree reduction.
+
+    Unlike ``prefix_signatures`` this computes only the *total* product —
+    halving the data each pass, so total work is ~2x one pass instead of
+    log2(n) full passes.  The all-zero element is the group unit, so padded
+    (zero-increment) segments are no-ops.
+    """
+    m = levels[0].shape[-2]
+    while m > 1:
+        half = m // 2
+        evens = tuple(lvl[..., 0 : 2 * half : 2, :] for lvl in levels)
+        odds = tuple(lvl[..., 1 : 2 * half : 2, :] for lvl in levels)
+        combined = chen_product(evens, odds)
+        if m % 2:
+            combined = tuple(
+                jnp.concatenate([c, lvl[..., -1:, :]], axis=-2)
+                for c, lvl in zip(combined, levels)
+            )
+        levels = combined
+        m = half + (m % 2)
+    return tuple(lvl[..., 0, :] for lvl in levels)
+
+
 def path_signature(path, depth):
     """Signature of a piecewise-linear path (..., length, c) over its whole
     span — the batched equivalent of signatory.Signature."""
@@ -207,12 +231,41 @@ def windowed_logsignatures(path, depth, boundaries):
     path: (..., length, c); boundaries: int array (n_windows + 1,) of indices
     into the length axis.  Returns (..., n_windows, logsig_channels).
 
-    One prefix scan + two gathers replaces the reference's per-window
-    signatory calls (log_ode.py:57-67): window sig = P_a^{-1} x P_b.
+    With concrete boundaries (the offline-preprocessing case) each window's
+    segments are gathered into a (n_windows, max_window) block — padded with
+    zero increments, whose segment signature is the group unit — and reduced
+    by ``chen_reduce``: ~2 passes over the data, replacing the reference's
+    per-window signatory calls (log_ode.py:57-67).  Traced boundaries fall
+    back to one prefix scan + two gathers: window sig = P_a^{-1} x P_b.
     """
     increments = path[..., 1:, :] - path[..., :-1, :]
-    prefixes = prefix_signatures(increments, depth)
+    n = increments.shape[-2]
+    c = path.shape[-1]
 
+    b_np = None
+    if not isinstance(boundaries, jax.core.Tracer):
+        b_np = np.asarray(boundaries).astype(np.int64)
+
+    if b_np is not None:
+        batch_shape = increments.shape[:-2]
+        lens = b_np[1:] - b_np[:-1]
+        nw = len(lens)
+        maxw = int(lens.max()) if nw else 0
+        uniform = maxw * nw == n and int(lens.min()) == maxw and b_np[0] == 0
+        if uniform:
+            # Uniform contiguous windows: a free reshape instead of a gather.
+            blocks = increments.reshape(batch_shape + (nw, maxw, c))
+        else:
+            idx = b_np[:-1, None] + np.arange(maxw)[None, :]
+            valid = idx < b_np[1:, None]
+            blocks = jnp.take(
+                increments, jnp.asarray(np.clip(idx, 0, n - 1).reshape(-1)), axis=-2
+            ).reshape(batch_shape + (nw, maxw, c))
+            blocks = blocks * jnp.asarray(valid, dtype=path.dtype)[..., None]
+        window_sigs = chen_reduce(tensor_exp(blocks, depth))
+        return lyndon_coordinates(tensor_log(window_sigs))
+
+    prefixes = prefix_signatures(increments, depth)
     # P_0 = identity (zero levels); prefix index i corresponds to segments
     # 1..i, i.e. grid position i.
     padded = tuple(
