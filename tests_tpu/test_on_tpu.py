@@ -107,6 +107,25 @@ def test_streaming_fill_and_masked_solve_on_tpu():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-3, atol=1e-4)
 
 
+def test_fused_masked_fit_on_tpu():
+    """Compiled fused masked natural-cubic fit (ops/masked_cubic_pallas.py)
+    vs the XLA masked pipeline, on hardware at a dispatch-eligible size."""
+    from torchcde_tpu.interpolation.cubic import _masked_coeffs_xla
+    from torchcde_tpu.ops.masked_cubic_pallas import masked_natural_cubic_pallas
+
+    r = np.random.default_rng(11)
+    B, L = 1024, 1024
+    x = r.standard_normal((B, L)).astype(np.float32)
+    x[r.random((B, L)) < 0.25] = np.nan
+    t = np.cumsum(0.5 + r.random(L)).astype(np.float32)
+    xj, tj = jnp.asarray(x), jnp.asarray(t)
+    ref = _masked_coeffs_xla(tj, xj)
+    got = tuple(v[..., :-1] for v in masked_natural_cubic_pallas(tj, xj))
+    for name, a, b in zip(("a", "b", "two_c", "three_d"), ref, got):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-3, atol=1e-3, err_msg=name)
+
+
 def test_cubic_fit_gradients_on_tpu():
     import torchcde_tpu as tc
 

@@ -187,9 +187,12 @@ def _natural_cubic_coeffs_masked(t, x, _version):
     tridiagonal system is solved in place on the full grid by a masked Thomas
     scan, and the reference's sequential polynomial re-basing walk
     (interpolation_cubic.py:147-162) becomes one forward fill scan.
-    """
-    from ..ops.fill import masked_fill
 
+    On TPU with large f32 batches the whole post-imputation fit dispatches to
+    four fused streaming Pallas kernels (ops/masked_cubic_pallas.py); the XLA
+    pipeline below remains the reference implementation and the backward
+    path.
+    """
     length = x.shape[-1]
     observed = ~jnp.isnan(x)
     any_obs = jnp.any(observed, axis=-1, keepdims=True)
@@ -209,6 +212,40 @@ def _natural_cubic_coeffs_masked(t, x, _version):
         # (interpolation_cubic.py:119-131); interior NaNs stay missing.
         x = jnp.where(pos < first_idx, v_first, x)
         x = jnp.where(pos > last_idx, v_last, x)
+
+    t_arr = jnp.asarray(t).astype(x.dtype)
+    if _fused_fit_ok(x):
+        a, b, two_c, three_d = _masked_fit_fused(t_arr, x)
+    else:
+        a, b, two_c, three_d = _masked_coeffs_xla(t_arr, x)
+
+    # All-NaN channels: constant zero path (interpolation_cubic.py:85-92).
+    zero = jnp.zeros_like(a)
+    return (
+        jnp.where(any_obs, a, zero),
+        jnp.where(any_obs, b, zero),
+        jnp.where(any_obs, two_c, zero),
+        jnp.where(any_obs, three_d, zero),
+    )
+
+
+def _fused_fit_ok(x):
+    batch = 1
+    for dim in x.shape[:-1]:
+        batch *= dim
+    return (
+        jax.default_backend() == "tpu"
+        and x.dtype == jnp.float32
+        and batch >= 512
+        and x.shape[-1] >= 512
+    )
+
+
+def _masked_coeffs_xla(t, x):
+    """The post-imputation masked fit as XLA ops (fills + masked solve +
+    re-basing) — the reference implementation for the fused TPU kernels and
+    the backward path of ``_masked_fit_fused``."""
+    from ..ops.fill import masked_fill
 
     observed = ~jnp.isnan(x)
     x_safe = jnp.where(observed, x, jnp.zeros_like(x))
@@ -267,15 +304,31 @@ def _natural_cubic_coeffs_masked(t, x, _version):
     b = b_k + (three_d_k * offset - two_c_k) * offset
     two_c = two_c_k - 2 * three_d_k * offset
     three_d = three_d_k
+    return a, b, two_c, three_d
 
-    # All-NaN channels: constant zero path (interpolation_cubic.py:85-92).
-    zero = jnp.zeros_like(a)
-    return (
-        jnp.where(any_obs, a, zero),
-        jnp.where(any_obs, b, zero),
-        jnp.where(any_obs, two_c, zero),
-        jnp.where(any_obs, three_d, zero),
-    )
+
+@jax.custom_vjp
+def _masked_fit_fused(t, x):
+    """Fused-Pallas masked fit; numerically matches ``_masked_coeffs_xla``.
+    Backward differentiates the XLA pipeline (recompute — the masked fit is
+    offline preprocessing, so the forward speed is what matters)."""
+    from ..ops.masked_cubic_pallas import masked_natural_cubic_pallas
+
+    a, b, two_c, three_d = masked_natural_cubic_pallas(t, x)
+    return a[..., :-1], b[..., :-1], two_c[..., :-1], three_d[..., :-1]
+
+
+def _masked_fit_fused_fwd(t, x):
+    return _masked_fit_fused(t, x), (t, x)
+
+
+def _masked_fit_fused_bwd(res, g):
+    t, x = res
+    _, vjp = jax.vjp(_masked_coeffs_xla, t, x)
+    return vjp(g)
+
+
+_masked_fit_fused.defvjp(_masked_fit_fused_fwd, _masked_fit_fused_bwd)
 
 
 def _natural_cubic_spline_coeffs(x, t, _version):

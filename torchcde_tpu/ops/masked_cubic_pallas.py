@@ -1,0 +1,417 @@
+"""Pallas TPU kernels: the whole NaN-masked natural-cubic fit, fused.
+
+The masked fit (interpolation/cubic.py:_natural_cubic_coeffs_masked, mirroring
+reference interpolation_cubic.py:78-167) is a chain of masked fills, a gappy
+tridiagonal solve and elementwise algebra.  Run as separate ops it costs ~10
+full-array HBM round trips plus a layout transpose inside every fill/solve
+call.  Here the post-imputation fit is four streaming kernels over
+length-major (k, n) blocks — one transpose in, none internal:
+
+  K1 (reverse)  x, t, obs          -> hr, pds, six_pd_hr
+                 next-observed (value, time) fill fused with the interval
+                 quantities h = t_next - t, hr = 1/h, pds = 3 dx hr^2.
+  K2 (forward)  hr, pds, obs       -> nd, nb
+                 previous-observed fill (hr_prev, pds_prev) fused with the
+                 diag/rhs assembly and the Thomas forward sweep, evaluated as
+                 associative prefix scans (Mobius 2x2 for nd, affine for nb —
+                 see ops/masked_tridiagonal_pallas.py for the derivation).
+  K3 (reverse)  nd, nb, hr, sph, x_safe, obs -> a0, b0, two_c0, three_d0
+                 back substitution (affine reverse prefix) fused with the
+                 spline algebra; kd at the *next* observed knot is the scan
+                 value one row later — no separate fill pass.
+  K4 (forward)  a0, b0, two_c0, three_d0, t, obs -> a, b, two_c, three_d
+                 last-observed-knot polynomial fill fused with the re-basing
+                 onto every grid interval (the reference's sequential walk at
+                 interpolation_cubic.py:147-162).
+
+Every sequential recurrence is a Hillis–Steele pass over VMEM rows with the
+running state carried across blocks in scratch; HBM sees each array once per
+kernel.  Gradients: interpolation/cubic.py wraps this in a custom_vjp whose
+backward differentiates the (numerically identical) XLA pipeline.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_KB = 512
+
+
+def _rows(kb, wb):
+    return jax.lax.broadcasted_iota(jnp.int32, (kb, wb), 0)
+
+
+def _fill_block(vals, flag, reverse):
+    """In-block inclusive masked fill: each row takes the nearest flagged
+    row's values at-or-before it (at-or-after when reverse).  Rows with no
+    flagged row in range keep their own entries.  flag is float (>0.5)."""
+    kb, wb = flag.shape
+    rows = _rows(kb, wb)
+    s = 1
+    while s < kb:
+        if reverse:
+            keep = rows < kb - s
+            sh = lambda x, _s=s: pltpu.roll(x, kb - _s, axis=0)
+        else:
+            keep = rows >= s
+            sh = lambda x, _s=s: pltpu.roll(x, _s, axis=0)
+        take_self = flag > 0.5
+        vals = [jnp.where(take_self | ~keep, v, sh(v)) for v in vals]
+        flag = jnp.where(keep, jnp.maximum(flag, sh(flag)), flag)
+        s *= 2
+    return vals, flag
+
+
+def _shift_after(v, carry, kb, wb):
+    """Row i <- v[i + 1]; the last row takes the carry (entering from the
+    block processed previously in a reverse stream)."""
+    last = _rows(kb, wb) == kb - 1
+    return jnp.where(last, carry, pltpu.roll(v, kb - 1, axis=0))
+
+
+def _shift_before(v, carry, kb, wb):
+    """Row i <- v[i - 1]; the first row takes the carry."""
+    first = _rows(kb, wb) == 0
+    return jnp.where(first, carry, pltpu.roll(v, 1, axis=0))
+
+
+# --------------------------------------------------------------------------
+# K1: next-observed fill + interval quantities (reverse stream)
+# --------------------------------------------------------------------------
+
+
+def _prep_kernel(x_ref, t_ref, obs_ref, hr_ref, pds_ref, sph_ref, cx, ct, cf):
+    kb, wb = x_ref.shape
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        cx[:, :] = jnp.zeros((1, wb), x_ref.dtype)
+        ct[:, :] = jnp.zeros((1, wb), x_ref.dtype)
+        cf[:, :] = jnp.zeros((1, wb), x_ref.dtype)
+
+    x = x_ref[:, :]
+    t = jnp.broadcast_to(t_ref[:, :], (kb, wb))
+    obsf = obs_ref[:, :]
+
+    (xin, tin), flin = _fill_block([x, t], obsf, reverse=True)
+    xin = jnp.where(flin > 0.5, xin, cx[:, :])
+    tin = jnp.where(flin > 0.5, tin, ct[:, :])
+    ftot = jnp.maximum(flin, cf[:, :])
+
+    xn = _shift_after(xin, cx[:, :], kb, wb)
+    tn = _shift_after(tin, ct[:, :], kb, wb)
+    f_after = _shift_after(ftot, cf[:, :], kb, wb)
+
+    has_next = (obsf > 0.5) & (f_after > 0.5)
+    h = tn - t
+    hr = jnp.where(has_next, 1.0 / jnp.where(has_next, h, jnp.ones_like(h)), 0.0)
+    sph = 6.0 * (xn - x) * hr
+    pds = 0.5 * sph * hr
+
+    hr_ref[:, :] = hr
+    pds_ref[:, :] = pds
+    sph_ref[:, :] = sph
+    cx[:, :] = xin[:1, :]
+    ct[:, :] = tin[:1, :]
+    cf[:, :] = ftot[:1, :]
+
+
+# --------------------------------------------------------------------------
+# K2: previous-observed fill + system assembly + Thomas forward sweep
+# --------------------------------------------------------------------------
+
+
+def _matmul2(a00, a01, a10, a11, b00, b01, b10, b11):
+    return (
+        a00 * b00 + a01 * b10,
+        a00 * b01 + a01 * b11,
+        a10 * b00 + a11 * b10,
+        a10 * b01 + a11 * b11,
+    )
+
+
+def _rescale2(m00, m01, m10, m11):
+    s = 1.0 / jnp.maximum(
+        jnp.maximum(jnp.abs(m00), jnp.abs(m01)),
+        jnp.maximum(jnp.maximum(jnp.abs(m10), jnp.abs(m11)), 1e-30),
+    )
+    return m00 * s, m01 * s, m10 * s, m11 * s
+
+
+def _assemble_fwd_kernel(hr_ref, pds_ref, obs_ref, nd_ref, nb_ref,
+                         chf, cpf, cff, cp_ref, cq_ref, cb_ref):
+    kb, wb = hr_ref.shape
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        chf[:, :] = jnp.zeros((1, wb), hr_ref.dtype)
+        cpf[:, :] = jnp.zeros((1, wb), hr_ref.dtype)
+        cff[:, :] = jnp.zeros((1, wb), hr_ref.dtype)
+        cp_ref[:, :] = jnp.ones((1, wb), hr_ref.dtype)
+        cq_ref[:, :] = jnp.ones((1, wb), hr_ref.dtype)
+        cb_ref[:, :] = jnp.zeros((1, wb), hr_ref.dtype)
+
+    hr = hr_ref[:, :]
+    pds = pds_ref[:, :]
+    obsf = obs_ref[:, :]
+    obs = obsf > 0.5
+
+    (hrin, pdin), flin = _fill_block([hr, pds], obsf, reverse=False)
+    hrin = jnp.where(flin > 0.5, hrin, chf[:, :])
+    pdin = jnp.where(flin > 0.5, pdin, cpf[:, :])
+    ftot = jnp.maximum(flin, cff[:, :])
+
+    hp = _shift_before(hrin, chf[:, :], kb, wb)
+    pds_prev = _shift_before(pdin, cpf[:, :], kb, wb)
+
+    d = 2.0 * (hp + hr)
+    d = jnp.where(obs & (d > 0), d, jnp.ones_like(d))
+    r = pds_prev + pds
+
+    # --- nd via 2x2 Mobius prefix products (masked_tridiagonal_pallas) -----
+    c = hp * hp
+    m00 = jnp.where(obs, d, 1.0)
+    m01 = jnp.where(obs, -c, 0.0)
+    m10 = jnp.where(obs, jnp.ones_like(d), 0.0)
+    m11 = jnp.where(obs, jnp.zeros_like(d), 1.0)
+
+    rows = _rows(kb, wb)
+    s = 1
+    while s < kb:
+        keep = rows >= s
+        b00 = jnp.where(keep, pltpu.roll(m00, s, axis=0), 1.0)
+        b01 = jnp.where(keep, pltpu.roll(m01, s, axis=0), 0.0)
+        b10 = jnp.where(keep, pltpu.roll(m10, s, axis=0), 0.0)
+        b11 = jnp.where(keep, pltpu.roll(m11, s, axis=0), 1.0)
+        m00, m01, m10, m11 = _matmul2(m00, m01, m10, m11, b00, b01, b10, b11)
+        m00, m01, m10, m11 = _rescale2(m00, m01, m10, m11)
+        s *= 2
+
+    cp = cp_ref[:, :]
+    cq = cq_ref[:, :]
+    p = m00 * cp + m01 * cq
+    q = m10 * cp + m11 * cq
+    scale = 1.0 / jnp.maximum(jnp.maximum(jnp.abs(p), jnp.abs(q)), 1e-30)
+    p = p * scale
+    q = q * scale
+    nd = p / jnp.where(q == 0, 1e-30, q)
+
+    first = rows < 1
+    p_prev = jnp.where(first, cp, pltpu.roll(p, 1, axis=0))
+    q_prev = jnp.where(first, cq, pltpu.roll(q, 1, axis=0))
+    nd_prev = p_prev / jnp.where(q_prev == 0, 1e-30, q_prev)
+
+    # --- nb via affine prefix ---------------------------------------------
+    A = jnp.where(obs, r, 0.0)
+    B = jnp.where(obs, -hp / jnp.where(nd_prev == 0, 1e-30, nd_prev),
+                  jnp.ones_like(d))
+    s = 1
+    while s < kb:
+        keep = rows >= s
+        A_sh = jnp.where(keep, pltpu.roll(A, s, axis=0), 0.0)
+        B_sh = jnp.where(keep, pltpu.roll(B, s, axis=0), 1.0)
+        A, B = A + B * A_sh, B * B_sh
+        s *= 2
+    nb = A + B * cb_ref[:, :]
+
+    nd_ref[:, :] = jnp.where(obs, nd, 1.0)
+    nb_ref[:, :] = jnp.where(obs, nb, 0.0)
+
+    chf[:, :] = hrin[kb - 1 :, :]
+    cpf[:, :] = pdin[kb - 1 :, :]
+    cff[:, :] = ftot[kb - 1 :, :]
+    cp_ref[:, :] = p[kb - 1 :, :]
+    cq_ref[:, :] = q[kb - 1 :, :]
+    cb_ref[:, :] = nb[kb - 1 :, :]
+
+
+# --------------------------------------------------------------------------
+# K3: back substitution + spline algebra (reverse stream)
+# --------------------------------------------------------------------------
+
+
+def _subst_kernel(nd_ref, nb_ref, hr_ref, sph_ref, xs_ref, obs_ref,
+                  a_ref, b_ref, c_ref, d_ref, cu):
+    kb, wb = nd_ref.shape
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        cu[:, :] = jnp.zeros((1, wb), nd_ref.dtype)
+
+    nd = nd_ref[:, :]
+    nb = nb_ref[:, :]
+    hr = hr_ref[:, :]
+    sph = sph_ref[:, :]
+    xs = xs_ref[:, :]
+    obs = obs_ref[:, :] > 0.5
+
+    # x_i = A_i + B_i x_{i+1}; missing rows pass the carry through.
+    nd_safe = jnp.where(nd == 0, 1e-30, nd)
+    A = jnp.where(obs, nb / nd_safe, 0.0)
+    B = jnp.where(obs, -hr / nd_safe, jnp.ones_like(nd))
+
+    rows = _rows(kb, wb)
+    s = 1
+    while s < kb:
+        keep = rows < kb - s
+        A_sh = jnp.where(keep, pltpu.roll(A, kb - s, axis=0), 0.0)
+        B_sh = jnp.where(keep, pltpu.roll(B, kb - s, axis=0), 1.0)
+        A, B = A + B * A_sh, B * B_sh
+        s *= 2
+    u = A + B * cu[:, :]
+
+    kd = jnp.where(obs, u, 0.0)
+    kdn = _shift_after(u, cu[:, :], kb, wb)  # kd at the next observed knot
+
+    a_ref[:, :] = xs
+    b_ref[:, :] = kd
+    c_ref[:, :] = (sph - 4.0 * kd - 2.0 * kdn) * hr
+    d_ref[:, :] = (-sph + 3.0 * (kd + kdn)) * hr * hr
+    cu[:, :] = u[:1, :]
+
+
+# --------------------------------------------------------------------------
+# K4: last-observed polynomial fill + re-basing (forward stream)
+# --------------------------------------------------------------------------
+
+
+def _rebase_kernel(a_ref, b_ref, c_ref, d_ref, t_ref, obs_ref,
+                   ao_ref, bo_ref, co_ref, do_ref, ca, cb, cc, cd, ct, cf):
+    kb, wb = a_ref.shape
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        # Unobserved prefixes take the global first row (the XLA fill's scan
+        # identity keeps element 0's entries).
+        ca[:, :] = a_ref[:1, :]
+        cb[:, :] = b_ref[:1, :]
+        cc[:, :] = c_ref[:1, :]
+        cd[:, :] = d_ref[:1, :]
+        ct[:, :] = jnp.broadcast_to(t_ref[:1, :], (1, wb))
+        cf[:, :] = jnp.zeros((1, wb), a_ref.dtype)
+
+    a0 = a_ref[:, :]
+    b0 = b_ref[:, :]
+    c0 = c_ref[:, :]
+    d0 = d_ref[:, :]
+    t = jnp.broadcast_to(t_ref[:, :], (kb, wb))
+    obsf = obs_ref[:, :]
+
+    (ain, bin_, cin, din, tin), flin = _fill_block(
+        [a0, b0, c0, d0, t], obsf, reverse=False
+    )
+    seen = flin > 0.5
+    a_k = jnp.where(seen, ain, ca[:, :])
+    b_k = jnp.where(seen, bin_, cb[:, :])
+    c_k = jnp.where(seen, cin, cc[:, :])
+    d_k = jnp.where(seen, din, cd[:, :])
+    t_obs = jnp.where(seen, tin, ct[:, :])
+    ftot = jnp.maximum(flin, cf[:, :])
+
+    offset = t_obs - t
+    ao_ref[:, :] = a_k + ((0.5 * c_k - d_k * offset / 3.0) * offset - b_k) * offset
+    bo_ref[:, :] = b_k + (d_k * offset - c_k) * offset
+    co_ref[:, :] = c_k - 2.0 * d_k * offset
+    do_ref[:, :] = d_k
+
+    ca[:, :] = a_k[kb - 1 :, :]
+    cb[:, :] = b_k[kb - 1 :, :]
+    cc[:, :] = c_k[kb - 1 :, :]
+    cd[:, :] = d_k[kb - 1 :, :]
+    ct[:, :] = t_obs[kb - 1 :, :]
+    cf[:, :] = ftot[kb - 1 :, :]
+
+
+# --------------------------------------------------------------------------
+# Driver
+# --------------------------------------------------------------------------
+
+
+def _specs(k, n, kb, wb, t=False, reverse=False):
+    nk = k // kb
+    if reverse:
+        if t:
+            return pl.BlockSpec((kb, 1), lambda w, kk, _nk=nk: (_nk - 1 - kk, 0),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec((kb, wb), lambda w, kk, _nk=nk: (_nk - 1 - kk, w),
+                            memory_space=pltpu.VMEM)
+    if t:
+        return pl.BlockSpec((kb, 1), lambda w, kk: (kk, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.BlockSpec((kb, wb), lambda w, kk: (kk, w), memory_space=pltpu.VMEM)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _fit_2d(xs, tcol, obs, interpret=False):
+    """Fused masked fit on length-major (k, n) arrays; k % _KB == 0.
+
+    xs: observed values (zeros at missing); tcol: (k, 1) times; obs: float
+    observed mask.  Returns (a, b, two_c, three_d), each (k, n) full-grid.
+    """
+    k, n = xs.shape
+    kb = _KB
+    dt = xs.dtype
+
+    def run(kernel, n_in, n_out, n_carry, wb, reverse, args):
+        grid = (n // wb, k // kb)
+        spec = _specs(k, n, kb, wb, reverse=reverse)
+        tspec = _specs(k, n, kb, wb, t=True, reverse=reverse)
+        in_specs = [tspec if a is tcol else spec for a in args]
+        carry = pltpu.VMEM((1, wb), dt)
+        shape = jax.ShapeDtypeStruct((k, n), dt)
+        return pl.pallas_call(
+            kernel,
+            out_shape=tuple([shape] * n_out) if n_out > 1 else shape,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=tuple([spec] * n_out) if n_out > 1 else spec,
+            scratch_shapes=[carry] * n_carry,
+            interpret=interpret,
+        )(*args)
+
+    hr, pds, sph = run(_prep_kernel, 3, 3, 3, 256, True, (xs, tcol, obs))
+    nd, nb = run(_assemble_fwd_kernel, 3, 2, 6, 256, False, (hr, pds, obs))
+    a0, b0, c0, d0 = run(_subst_kernel, 6, 4, 1, 256, True,
+                         (nd, nb, hr, sph, xs, obs))
+    a, b, c, d = run(_rebase_kernel, 6, 4, 6, 128, False,
+                     (a0, b0, c0, d0, tcol, obs))
+    return a, b, c, d
+
+
+def masked_natural_cubic_pallas(t, x, interpret=False):
+    """Fused masked natural-cubic fit (TPU streaming kernels).
+
+    t: (length,) strictly increasing times; x: (..., length) post-imputation
+    values with NaNs at missing positions.  Returns (a, b, two_c, three_d),
+    each (..., length) full-grid rows (callers slice off the last row) —
+    numerically matching interpolation/cubic.py's XLA masked pipeline.
+    """
+    shape = x.shape
+    k = shape[-1]
+    x2 = x.reshape(-1, k).T
+    n = x2.shape[1]
+    obs2 = (~jnp.isnan(x2)).astype(x2.dtype)
+    xs2 = jnp.where(obs2 > 0.5, x2, jnp.zeros_like(x2))
+
+    t = jnp.asarray(t, x2.dtype)
+    kpad = (-k) % _KB
+    npad = (-n) % 256
+    if kpad or npad:
+        xs2 = jnp.pad(xs2, ((0, kpad), (0, npad)))
+        obs2 = jnp.pad(obs2, ((0, kpad), (0, npad)))
+    if kpad:
+        # Padded times keep strictly increasing (never used: padded rows are
+        # unobserved pass-throughs in every scan).
+        extra = t[-1] + jnp.arange(1, kpad + 1, dtype=t.dtype)
+        t = jnp.concatenate([t, extra])
+    tcol = t.reshape(-1, 1)
+
+    a, b, c, d = _fit_2d(xs2, tcol, obs2, interpret=interpret)
+    out = []
+    for arr in (a, b, c, d):
+        arr = arr[:k, :n] if (kpad or npad) else arr
+        out.append(arr.T.reshape(shape))
+    return tuple(out)
