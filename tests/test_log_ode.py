@@ -154,3 +154,14 @@ def test_logsig_windows_with_nans_and_custom_t():
     t += 0.01 * np.arange(30)
     out = torchcde_tpu.logsig_windows(jnp.asarray(x), 2, 3.0, jnp.asarray(t))
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_windowed_skewed_falls_back_and_matches():
+    # Clustered boundaries make nw*maxw >> n: the padded-block reduction must
+    # fall back to the prefix-scan path, with identical results either way.
+    path = rng.standard_normal((2, 61, 3))
+    skewed = jnp.asarray([0, 1, 2, 3, 60])  # one giant window among tiny ones
+    wl = np.asarray(windowed_logsignatures(jnp.asarray(path), 2, skewed))
+    for wi, (a, b) in enumerate(zip([0, 1, 2, 3], [1, 2, 3, 60])):
+        direct = np.asarray(path_logsignature(jnp.asarray(path[:, a : b + 1]), 2))
+        assert np.allclose(wl[:, wi], direct, atol=1e-10)

@@ -35,13 +35,11 @@ def _compare(t_np, x_np):
 
 @pytest.mark.parametrize("shape", [(4, 37), (3, 300), (2, 530), (6, 1025)])
 def test_random_nan_patterns(shape):
+    # Raw NaN patterns (leading/trailing runs included): both paths must agree
+    # on un-imputed data too; the end-to-end test below covers the imputed
+    # pipeline.
     x = rng.standard_normal(shape).astype(np.float32)
     x[rng.random(shape) < 0.3] = np.nan
-    # Endpoint imputation normally runs before the fit; emulate version-1
-    # fill-forward/backward so both paths see post-imputation data.
-    x = np.asarray(
-        jnp.asarray(x)
-    )
     t = np.cumsum(0.5 + rng.random(shape[-1])).astype(np.float32)
     _compare(t, x)
 

@@ -120,15 +120,9 @@ def _masked_solve_impl(diag, rhs, hr, hr_prev, observed):
     """Dispatch the gappy solve: streaming Pallas kernels on TPU for large
     batches (ops/masked_tridiagonal_pallas.py — prefix-scan blocks at ~4x the
     lax.scan), the masked Thomas scan otherwise."""
-    batch = 1
-    for dim in diag.shape[:-1]:
-        batch *= dim
-    if (
-        jax.default_backend() == "tpu"
-        and batch >= 512
-        and diag.shape[-1] >= 512
-        and diag.dtype == jnp.float32
-    ):
+    from ..ops.pallas_dispatch import streaming_kernel_eligible
+
+    if streaming_kernel_eligible(diag.shape, diag.dtype):
         from ..ops.masked_tridiagonal_pallas import masked_thomas_pallas
 
         return masked_thomas_pallas(diag, rhs, hr, hr_prev, observed)
@@ -230,15 +224,9 @@ def _natural_cubic_coeffs_masked(t, x, _version):
 
 
 def _fused_fit_ok(x):
-    batch = 1
-    for dim in x.shape[:-1]:
-        batch *= dim
-    return (
-        jax.default_backend() == "tpu"
-        and x.dtype == jnp.float32
-        and batch >= 512
-        and x.shape[-1] >= 512
-    )
+    from ..ops.pallas_dispatch import streaming_kernel_eligible
+
+    return streaming_kernel_eligible(x.shape, x.dtype)
 
 
 def _masked_coeffs_xla(t, x):

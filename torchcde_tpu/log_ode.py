@@ -78,6 +78,8 @@ def _logsignature_windows(x, depth, window_length, t, _version):
     # NaN-free data the inserted rows are blended on the host right here (two
     # vectorized gathers), so the device program needs no infill pass at all;
     # data with genuinely missing values takes the masked device infill.
+    # (np.asarray on a device-resident x is a sub-ms transfer at these sizes
+    # — this is host-side offline preprocessing either way.)
     x_np = np.asarray(x)
     needs_infill = bool(np.isnan(x_np).any())
     if merged_t.shape[0] != t_np.shape[0]:

@@ -91,14 +91,15 @@ def backward_fill(x, fill_index=-2):
 
 
 def _fill_dispatch(values, observed, axis, reverse):
+    from .pallas_dispatch import streaming_kernel_eligible
+
     axis = axis % observed.ndim
-    batch = observed.size // observed.shape[axis]
     if (
         axis == observed.ndim - 1
-        and jax.default_backend() == "tpu"
-        and batch >= 512
-        and observed.shape[axis] >= 256
-        and all(v.dtype == jnp.float32 for v in values)
+        and all(
+            streaming_kernel_eligible(observed.shape, v.dtype, min_length=256)
+            for v in values
+        )
     ):
         from .fill_pallas import masked_fill_pallas
 

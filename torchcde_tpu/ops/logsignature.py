@@ -247,10 +247,17 @@ def windowed_logsignatures(path, depth, boundaries):
         b_np = np.asarray(boundaries).astype(np.int64)
 
     if b_np is not None:
-        batch_shape = increments.shape[:-2]
         lens = b_np[1:] - b_np[:-1]
         nw = len(lens)
         maxw = int(lens.max()) if nw else 0
+        # Skewed windows pad every window to the largest: cap the blowup (a
+        # clustered irregular grid could make nw*maxw >> n) and use the
+        # prefix-scan formulation instead.
+        if nw == 0 or maxw * nw > 4 * n:
+            b_np = None
+
+    if b_np is not None:
+        batch_shape = increments.shape[:-2]
         uniform = maxw * nw == n and int(lens.min()) == maxw and b_np[0] == 0
         if uniform:
             # Uniform contiguous windows: a free reshape instead of a gather.
@@ -265,6 +272,7 @@ def windowed_logsignatures(path, depth, boundaries):
         window_sigs = chen_reduce(tensor_exp(blocks, depth))
         return lyndon_coordinates(tensor_log(window_sigs))
 
+    boundaries = jnp.asarray(boundaries)
     prefixes = prefix_signatures(increments, depth)
     # P_0 = identity (zero levels); prefix index i corresponds to segments
     # 1..i, i.e. grid position i.

@@ -355,7 +355,7 @@ def _fit_2d(xs, tcol, obs, interpret=False):
     kb = _KB
     dt = xs.dtype
 
-    def run(kernel, n_in, n_out, n_carry, wb, reverse, args):
+    def run(kernel, n_out, n_carry, wb, reverse, args):
         grid = (n // wb, k // kb)
         spec = _specs(k, n, kb, wb, reverse=reverse)
         tspec = _specs(k, n, kb, wb, t=True, reverse=reverse)
@@ -372,11 +372,11 @@ def _fit_2d(xs, tcol, obs, interpret=False):
             interpret=interpret,
         )(*args)
 
-    hr, pds, sph = run(_prep_kernel, 3, 3, 3, 256, True, (xs, tcol, obs))
-    nd, nb = run(_assemble_fwd_kernel, 3, 2, 6, 256, False, (hr, pds, obs))
-    a0, b0, c0, d0 = run(_subst_kernel, 6, 4, 1, 256, True,
+    hr, pds, sph = run(_prep_kernel, 3, 3, 256, True, (xs, tcol, obs))
+    nd, nb = run(_assemble_fwd_kernel, 2, 6, 256, False, (hr, pds, obs))
+    a0, b0, c0, d0 = run(_subst_kernel, 4, 1, 256, True,
                          (nd, nb, hr, sph, xs, obs))
-    a, b, c, d = run(_rebase_kernel, 6, 4, 6, 128, False,
+    a, b, c, d = run(_rebase_kernel, 4, 6, 128, False,
                      (a0, b0, c0, d0, tcol, obs))
     return a, b, c, d
 
