@@ -20,6 +20,10 @@ def streaming_kernel_eligible(shape, dtype, min_batch=512, min_length=512):
         batch *= dim
     return (
         jax.default_backend() == "tpu"
+        # A pallas_call would force sharded operands to gather onto one
+        # device; on a mesh the XLA paths partition cleanly instead (the same
+        # decline rule as the fused solve kernels, fused_pallas.py).
+        and jax.device_count() == 1
         and dtype == jnp.float32
         and batch >= min_batch
         and shape[-1] >= min_length

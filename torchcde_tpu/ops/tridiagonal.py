@@ -143,7 +143,10 @@ def tridiagonal_solve(b, A_upper, A_diagonal, A_lower, *, method="auto"):
             batch *= dim
         dtype = jnp.result_type(b.dtype, A_diagonal.dtype)
         if jax.default_backend() == "tpu":
-            if k > 16 and batch >= 1024 and dtype in (jnp.float32, jnp.bfloat16):
+            # device_count guard: a pallas_call would gather sharded operands
+            # onto one device; XLA PCR partitions over a mesh instead.
+            if (k > 16 and batch >= 1024 and jax.device_count() == 1
+                    and dtype in (jnp.float32, jnp.bfloat16)):
                 method = "pallas"
             elif k > 256:
                 # Long systems: the sequential Thomas scan pays per-iteration
