@@ -146,8 +146,14 @@ def bench_irregular():
     x = np.concatenate([t_chan, x], axis=-1)
     xj = jnp.asarray(x)
 
-    t_lin = _chained_time(lambda a: tc.linear_interpolation_coeffs(a), xj)
-    t_rect = _chained_time(lambda a: tc.linear_interpolation_coeffs(a, rectilinear=0), xj)
+    import jax
+
+    # jit the whole pipeline: eager op-by-op execution pays a dispatch round
+    # trip per op on the remote backend, which is not how preprocessing runs.
+    t_lin = _chained_time(jax.jit(lambda a: tc.linear_interpolation_coeffs(a)), xj)
+    t_rect = _chained_time(
+        jax.jit(lambda a: tc.linear_interpolation_coeffs(a, rectilinear=0)), xj
+    )
     return {"metric": "irregular NaN linear+rectilinear coeffs (1024x256x9, 30% missing)",
             "value": round(1e3 * (t_lin + t_rect), 3), "unit": "ms"}
 
