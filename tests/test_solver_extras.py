@@ -132,3 +132,34 @@ def test_adjoint_params_selective():
     np.testing.assert_allclose(
         np.asarray(g_sel[1]), np.asarray(g_dir[1]), rtol=1e-3, atol=1e-5
     )
+
+
+def test_bfloat16_end_to_end():
+    # Serving-dtype contract: coefficients, spline evaluation and both solve
+    # modes run in bfloat16, preserve the dtype, and stay near the f32 path
+    # (bf16 has ~3 decimal digits; the CDE accumulates over ~20 steps).
+    r = np.random.default_rng(0)
+    x = r.standard_normal((8, 20, 3)).astype(np.float32)
+    W = jnp.asarray(r.standard_normal((4, 4 * 3)) * 0.1)
+
+    def run(dtype):
+        co = torchcde_tpu.hermite_cubic_coefficients_with_backward_differences(
+            jnp.asarray(x, dtype)
+        )
+        X = torchcde_tpu.CubicSpline(co)
+        z0 = jnp.zeros((8, 4), dtype)
+        Wd = W.astype(dtype)
+
+        def f(t, z):
+            return jnp.tanh(z @ Wd).reshape(z.shape[:-1] + (4, 3))
+
+        out = torchcde_tpu.cdeint(X, f, z0, X.interval, adjoint=False,
+                                  method="rk4", options={"step_size": 1.0})
+        assert out.dtype == dtype
+        return np.asarray(out, np.float64)
+
+    o16 = run(jnp.bfloat16)
+    o32 = run(jnp.float32)
+    assert np.isfinite(o16).all()
+    scale = np.abs(o32).max() + 1e-6
+    assert np.max(np.abs(o16 - o32)) / scale < 0.1
