@@ -215,3 +215,54 @@ def test_declines_out_of_caps(forced_interpret):
     Xb = CubicSpline(big_co)
     assert fdp.try_fused_dopri5(Xb, field, big_batch_z0, np.asarray([0.0, 4.0]),
                                 cfg_like) is None
+
+
+def test_multi_dim_batch_initial_step(forced_interpret):
+    # Regression: the Hairer initial-step probe ran on the batch-FLATTENED
+    # state while X kept its (2, 3) batch dims — a trace-time crash on any
+    # multi-dim-batch default-config solve.
+    C, H, W = 2, 3, 8
+    r = np.random.default_rng(5)
+    x = jnp.asarray(r.standard_normal((2, 3, 6, C)).astype(np.float32))
+    co = torchcde_tpu.hermite_cubic_coefficients_with_backward_differences(x)
+    w1 = jnp.asarray(r.standard_normal((H, W)) * 0.2, jnp.float32)
+    b1 = jnp.asarray(r.standard_normal((W,)) * 0.2, jnp.float32)
+    w2 = jnp.asarray(r.standard_normal((W, H * C)) * 0.2, jnp.float32)
+    b2 = jnp.asarray(r.standard_normal((H * C,)) * 0.2, jnp.float32)
+    z0 = jnp.asarray(r.standard_normal((2, 3, H)).astype(np.float32))
+    t = np.asarray([0.0, 5.0])
+
+    def run(force):
+        fused_pallas.force_fused_pallas(force)
+        try:
+            X = CubicSpline(co)
+            fl = MLPVectorField(w1, b1, w2, b2, H, C)
+            return torchcde_tpu.cdeint(X=X, func=fl, z0=z0, t=t,
+                                       adjoint=False, method="dopri5",
+                                       rtol=1e-3, atol=1e-5)
+        finally:
+            fused_pallas.force_fused_pallas(None)
+
+    out = run(True)
+    ref = run(False)
+    assert out.shape == (2, 3, 2, H)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=5e-3, atol=5e-3)
+
+
+def test_declines_explicit_max_steps_beyond_store(forced_interpret):
+    # A caller explicitly asking for a step budget larger than the
+    # trajectory store must get the XLA path (which honors it), not a
+    # silently truncated kernel budget.
+    from torchcde_tpu.solvers.fused_dopri_pallas import _STORE_CAP, try_fused_dopri5
+    from torchcde_tpu.solvers.integrate import SolverConfig
+
+    C, H, W = 2, 3, 8
+    args = _setup(2, 6, C, H, W)
+    x, z0 = args[0], args[1]
+    co = torchcde_tpu.hermite_cubic_coefficients_with_backward_differences(x)
+    X = CubicSpline(co)
+    fl = MLPVectorField(args[2], args[3], args[4], args[5], H, C)
+    cfg = SolverConfig(method="dopri5", rtol=1e-3, atol=1e-5,
+                       max_steps=_STORE_CAP + 1)
+    assert try_fused_dopri5(X, fl, z0, np.asarray([0.0, 5.0]), cfg) is None

@@ -243,3 +243,15 @@ def test_fused_reversible_heun_matches_xla_path(forced_interpret, adjoint):
     for a, b in zip(jax.tree_util.tree_leaves(g_ref),
                     jax.tree_util.tree_leaves(g_fp)):
         assert jnp.allclose(a, b, rtol=1e-3, atol=1e-4)
+
+
+def test_non_multiple_large_batch_pads_to_full_tiles(forced_interpret):
+    # Regression: round_up(B, 128) in (1024, 2048) that is not a multiple of
+    # the 1024-lane tile used to drop lanes and crash the output reshape.
+    C, H, W = 2, 3, 8
+    coeffs, args = _setup(1100, 4, C, H, W)
+    t = np.asarray([0.0, 3.0])
+    out = _solve(args, coeffs, C, H, t, "euler", 1.0, True)
+    ref = _solve(args, coeffs, C, H, t, "euler", 1.0, False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)

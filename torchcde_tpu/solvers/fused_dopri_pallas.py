@@ -28,8 +28,8 @@ both ``adjoint=False`` and eligible ``adjoint=True`` solves, like the
 fixed-step kernel.
 
 Single batch tile only (the error norm couples the whole batch, and tiles
-execute sequentially): batch <= 1024 after padding; larger batches take the
-XLA path.
+execute sequentially): batch <= MAX_TILE = 512 after padding; larger batches
+take the XLA path.
 """
 
 import functools
@@ -430,7 +430,8 @@ def try_fused_dopri5(X, func, z0, ts, cfg):
 
     Requires: MLPVectorField over a CubicSpline with a concrete uniform knot
     grid, concrete output times, f32, no step_size (tolerance-controlled),
-    batch <= 1024 after padding, single device.  Returns the time-leading
+    batch <= MAX_TILE (512) after padding, single device.  Returns the
+    time-leading
     solution at ``ts`` or None.
     """
     from ..interpolation.cubic import CubicSpline
@@ -493,8 +494,25 @@ def try_fused_dopri5(X, func, z0, ts, cfg):
         return None
     Hp = _round_up(H, 8)
     CHp = _round_up(C * H, 8)
-    max_steps = cfg.max_steps or 4096
-    cap = min(max_steps, _STORE_CAP)
+    # The trajectory store bounds the kernel's step budget.  A caller who
+    # explicitly asks for a larger budget than the store gets the XLA path
+    # (which honors it) instead of a silently smaller one; the default budget
+    # is the store cap, far above any sane solve at these tolerances.
+    if cfg.max_steps is not None and cfg.max_steps > _STORE_CAP:
+        return None
+    max_steps = min(cfg.max_steps or 4096, _STORE_CAP)
+    cap = max_steps
+
+    # Joint VMEM residency estimate (coefficient table + its gradient, output
+    # rows + their cotangents, t/dt stores, weights, scratch): decline rather
+    # than hand Mosaic a program that cannot allocate.
+    n_out_pad = _round_up(max(len(ts_np), 1), _LANES)
+    resident_rows = 2 * n * _SLAB + len(ts_np) * Hp + 8 * Hp
+    vmem_bytes = 4 * (
+        resident_rows * Bp + 2 * cap * 128 + W * (Hp + CHp + 2) + 2 * n_out_pad
+    )
+    if vmem_bytes > 12 * 1024 * 1024:
+        return None
 
     def flat_rows(r):
         return jnp.broadcast_to(r, batch + r.shape[-2:]).reshape(B, n, C)
@@ -514,11 +532,14 @@ def try_fused_dopri5(X, func, z0, ts, cfg):
     b2c = jnp.pad(b2p, ((0, CHp - C * H), (0, 0)))
 
     # Hairer initial-step heuristic, identical to the XLA path (3 dispatched
-    # vector-field evaluations — negligible next to the fused solve).
+    # vector-field evaluations — negligible next to the fused solve).  Runs
+    # on the batch-SHAPED state: X still carries the original batch dims, so
+    # the flattened (B, H) state would not broadcast against X.derivative.
     rhs = make_cde_rhs(func, X)
     t0 = jnp.asarray(ts_np[0], jnp.float32)
-    f0 = rhs(t0, z0f)
-    dt0 = select_initial_step(rhs, t0, z0f, _ORDER, cfg.rtol, cfg.atol, f0)
+    z0b = jnp.broadcast_to(z0, batch + z0.shape[-1:])
+    f0 = rhs(t0, z0b)
+    dt0 = select_initial_step(rhs, t0, z0b, _ORDER, cfg.rtol, cfg.atol, f0)
     dt0 = jax.lax.stop_gradient(dt0).astype(jnp.float32).reshape(1, 1)
 
     solve = _make_fused_dopri(

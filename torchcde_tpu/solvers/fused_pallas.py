@@ -421,6 +421,7 @@ def try_fused_mlp_pallas(rows, z0, field, method, m, dt_sub, n):
     CHp = _round_up(C * H, 8)
     Bp = _round_up(max(B, 1), _LANES)
     tile = min(1024, Bp)
+    Bp = _round_up(Bp, tile)  # tile * n_tiles must cover the padded batch
     n_tiles = Bp // tile
 
     def flat_rows(r):
@@ -727,6 +728,7 @@ def try_fused_reversible_heun(X, func, z0, ts, step_size):
     CHp = _round_up(C * H, 8)
     Bp = _round_up(max(B, 1), _LANES)
     tile = min(1024, Bp)
+    Bp = _round_up(Bp, tile)  # tile * n_tiles must cover the padded batch
     n_tiles = Bp // tile
 
     def flat_rows(r):

@@ -320,6 +320,17 @@ def odeint(rhs, z0, ts, cfg: SolverConfig, jump_t=None, differentiable=True,
     step/NFE counters (the observability torchdiffeq keeps internally but the
     reference never exposes — SURVEY.md section 5).
     """
+    # The solve runs in the state's precision: f64 times against an f32 state
+    # would promote the loop carry mid-body (a type-stability crash in the
+    # bounded differentiable loops).  Concrete NumPy grids stay concrete so
+    # step counts remain static.
+    state_dtype = jnp.result_type(*jax.tree_util.tree_leaves(z0))
+    if jnp.issubdtype(state_dtype, jnp.floating):
+        if isinstance(ts, np.ndarray):
+            ts = ts.astype(state_dtype)
+        elif getattr(ts, "dtype", None) != state_dtype:
+            ts = jnp.asarray(ts, state_dtype)
+
     stepper = cfg.stepper()
     if cfg.method == "dopri5" and jump_t is not None:
         # The FSAL cache is invalid across derivative discontinuities.
