@@ -43,9 +43,6 @@ from jax.experimental.pallas import tpu as pltpu
 from .fused_pallas import (
     _LANES,
     _SLAB,
-    MAX_CONTRACT,
-    MAX_WIDTH,
-    _on_tpu,
     _round_up,
     _selection_matrices,
     _stage_backward,
@@ -439,14 +436,8 @@ def try_fused_dopri5(X, func, z0, ts, cfg):
     from .integrate import select_initial_step
     from .terms import MLPVectorField, make_cde_rhs
 
-    if fused_pallas._FORCE is False:
-        return None
-    interpret = False
-    if not _on_tpu():
-        if fused_pallas._FORCE is not True:
-            return None
-        interpret = True
-    elif jax.device_count() > 1:
+    interpret = fused_pallas._kernel_mode()
+    if interpret is None:
         return None
 
     if not isinstance(func, MLPVectorField) or isinstance(z0, (tuple, list)):
@@ -474,26 +465,6 @@ def try_fused_dopri5(X, func, z0, ts, cfg):
     if n > MAX_INTERVALS:
         return None
 
-    rows = (X._b, X._two_c, X._three_d)
-    C = rows[0].shape[-1]
-    H = func.hidden_channels
-    w1, b1, w2, b2 = func.w1, func.b1, func.w2, func.b2
-    W = w1.shape[-1]
-    if w1.shape != (H, W) or w2.shape != (W, H * C) or func.input_channels != C:
-        return None
-    if W > MAX_WIDTH or C * H > MAX_CONTRACT or 3 * C > _SLAB:
-        return None
-    arrays = rows + (z0, w1, b1, w2, b2)
-    if any(a.dtype != jnp.float32 for a in arrays):
-        return None
-
-    batch = jnp.broadcast_shapes(rows[0].shape[:-2], z0.shape[:-1])
-    B = int(np.prod(batch, dtype=np.int64)) if batch else 1
-    Bp = _round_up(max(B, 1), _LANES)
-    if Bp > MAX_TILE:
-        return None
-    Hp = _round_up(H, 8)
-    CHp = _round_up(C * H, 8)
     # The trajectory store bounds the kernel's step budget.  A caller who
     # explicitly asks for a larger budget than the store gets the XLA path
     # (which honors it) instead of a silently smaller one; the default budget
@@ -503,33 +474,22 @@ def try_fused_dopri5(X, func, z0, ts, cfg):
     max_steps = min(cfg.max_steps or 4096, _STORE_CAP)
     cap = max_steps
 
+    p = fused_pallas._pack_operands(X._b, X._two_c, X._three_d, z0, func, n,
+                                    single_tile=MAX_TILE)
+    if p is None:
+        return None
+
     # Joint VMEM residency estimate (coefficient table + its gradient, output
     # rows + their cotangents, t/dt stores, weights, scratch): decline rather
     # than hand Mosaic a program that cannot allocate.
     n_out_pad = _round_up(max(len(ts_np), 1), _LANES)
-    resident_rows = 2 * n * _SLAB + len(ts_np) * Hp + 8 * Hp
+    resident_rows = 2 * n * _SLAB + len(ts_np) * p.Hp + 8 * p.Hp
     vmem_bytes = 4 * (
-        resident_rows * Bp + 2 * cap * 128 + W * (Hp + CHp + 2) + 2 * n_out_pad
+        resident_rows * p.Bp + 2 * cap * 128
+        + p.W * (p.Hp + p.CHp + 2) + 2 * n_out_pad
     )
     if vmem_bytes > 12 * 1024 * 1024:
         return None
-
-    def flat_rows(r):
-        return jnp.broadcast_to(r, batch + r.shape[-2:]).reshape(B, n, C)
-
-    ct = jnp.concatenate(
-        [flat_rows(rows[0]), flat_rows(rows[1]), flat_rows(rows[2]),
-         jnp.zeros((B, n, _SLAB - 3 * C), jnp.float32)], axis=-1)
-    ct2 = jnp.transpose(ct, (1, 2, 0)).reshape(n * _SLAB, B)
-    ct2 = jnp.pad(ct2, ((0, 0), (0, Bp - B)))
-    z0f = jnp.broadcast_to(z0, batch + z0.shape[-1:]).reshape(B, H)
-    z0t = jnp.pad(z0f.T, ((0, Hp - H), (0, Bp - B)))
-    w1t = jnp.pad(w1.T, ((0, 0), (0, Hp - H)))
-    b1c = b1.reshape(W, 1)
-    w2p = w2.reshape(W, H, C).transpose(0, 2, 1).reshape(W, C * H)
-    w2t = jnp.pad(w2p.T, ((0, CHp - C * H), (0, 0)))
-    b2p = b2.reshape(H, C).T.reshape(C * H, 1)
-    b2c = jnp.pad(b2p, ((0, CHp - C * H), (0, 0)))
 
     # Hairer initial-step heuristic, identical to the XLA path (3 dispatched
     # vector-field evaluations — negligible next to the fused solve).  Runs
@@ -537,18 +497,18 @@ def try_fused_dopri5(X, func, z0, ts, cfg):
     # the flattened (B, H) state would not broadcast against X.derivative.
     rhs = make_cde_rhs(func, X)
     t0 = jnp.asarray(ts_np[0], jnp.float32)
-    z0b = jnp.broadcast_to(z0, batch + z0.shape[-1:])
+    z0b = jnp.broadcast_to(z0, p.batch + z0.shape[-1:])
     f0 = rhs(t0, z0b)
     dt0 = select_initial_step(rhs, t0, z0b, _ORDER, cfg.rtol, cfg.atol, f0)
     dt0 = jax.lax.stop_gradient(dt0).astype(jnp.float32).reshape(1, 1)
 
     solve = _make_fused_dopri(
-        n, Bp, tuple(float(t) for t in ts_np), float(grid[0]), w,
+        n, p.Bp, tuple(float(t) for t in ts_np), float(grid[0]), w,
         float(cfg.rtol), float(cfg.atol), int(max_steps), int(cap),
-        C, H, W, CHp, B, float(cfg.safety), float(cfg.ifactor),
+        p.C, p.H, p.W, p.CHp, p.B, float(cfg.safety), float(cfg.ifactor),
         float(cfg.dfactor), interpret)
-    zout = solve(ct2, z0t, w1t, b1c, w2t, b2c, dt0)
+    zout = solve(p.ct2, p.z0t, p.w1t, p.b1c, p.w2t, p.b2c, dt0)
 
     n_out = len(ts_np)
-    out = zout.reshape(n_out, Hp, Bp)[:, :H, :B]
-    return jnp.moveaxis(out, 1, -1).reshape((n_out,) + batch + (H,))
+    out = zout.reshape(n_out, p.Hp, p.Bp)[:, :p.H, :p.B]
+    return jnp.moveaxis(out, 1, -1).reshape((n_out,) + p.batch + (p.H,))

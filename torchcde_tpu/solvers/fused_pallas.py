@@ -379,30 +379,39 @@ _TABLEAUS = {
 }
 
 
-def try_fused_mlp_pallas(rows, z0, field, method, m, dt_sub, n):
-    """Attempt the fused Pallas solve.
+def _kernel_mode():
+    """Shared eligibility gate for every fused-kernel driver.
 
-    rows: (b, two_c, three_d) spline rows, each (..., n, C); z0 (..., H);
-    field: an MLPVectorField; m substeps of size dt_sub per interval (uniform
-    knot spacing).  Returns knots (n + 1, ..., H) time-leading (knot 0 = z0),
-    or None when not applicable.
+    Returns None (decline — forced off, non-TPU without force, or a
+    multi-device mesh where GSPMD partitioning of a pallas_call is not part
+    of the kernels' contract: sharded training takes the fully-partitionable
+    XLA paths; explicit per-shard use via shard_map still works), or the
+    ``interpret`` flag to build the kernels with.
     """
     if _FORCE is False:
         return None
-    interpret = False
     if not _on_tpu():
-        if _FORCE is not True:
-            return None
-        interpret = True
-    elif jax.device_count() > 1:
-        # Multi-chip: GSPMD partitioning of a pallas_call is not part of this
-        # kernel's contract — decline so sharded training goes through the
-        # (fully partitionable) XLA scan fast path.  Explicit per-shard use
-        # via shard_map still works by calling this inside the shard.
+        return True if _FORCE is True else None
+    if jax.device_count() > 1:
         return None
-    if method not in _TABLEAUS or m > MAX_SUBSTEPS:
-        return None
-    b_rows, c_rows, d_rows = rows
+    return False
+
+
+class _Packed:
+    """Validated, kernel-layout operands shared by the fused drivers."""
+
+    __slots__ = ("ct2", "z0t", "w1t", "b1c", "w2t", "b2c", "z0f", "batch",
+                 "B", "Bp", "tile", "n_tiles", "C", "H", "W", "Hp", "CHp")
+
+
+def _pack_operands(b_rows, c_rows, d_rows, z0, field, n, single_tile=None):
+    """Validate vector-field/batch shapes and pack the kernel operands.
+
+    Returns a ``_Packed`` or None when ineligible.  ``single_tile``: a lane
+    cap for kernels that keep the whole batch in one tile (the adaptive
+    solver's whole-batch error norm); otherwise the batch is padded up to
+    whole 1024-lane tiles.
+    """
     C = b_rows.shape[-1]
     H = field.hidden_channels
     w1, b1, w2, b2 = field.w1, field.b1, field.w2, field.b2
@@ -417,12 +426,20 @@ def try_fused_mlp_pallas(rows, z0, field, method, m, dt_sub, n):
     batch = jnp.broadcast_shapes(b_rows.shape[:-2], z0.shape[:-1])
     B = int(np.prod(batch, dtype=np.int64)) if batch else 1
 
-    Hp = _round_up(H, 8)
-    CHp = _round_up(C * H, 8)
+    p = _Packed()
+    p.batch, p.B, p.C, p.H, p.W = batch, B, C, H, W
+    p.Hp = _round_up(H, 8)
+    p.CHp = _round_up(C * H, 8)
     Bp = _round_up(max(B, 1), _LANES)
-    tile = min(1024, Bp)
-    Bp = _round_up(Bp, tile)  # tile * n_tiles must cover the padded batch
-    n_tiles = Bp // tile
+    if single_tile is not None:
+        if Bp > single_tile:
+            return None
+        p.tile, p.n_tiles = Bp, 1
+    else:
+        p.tile = min(1024, Bp)
+        Bp = _round_up(Bp, p.tile)  # tile * n_tiles must cover the batch
+        p.n_tiles = Bp // p.tile
+    p.Bp = Bp
 
     def flat_rows(r):
         return jnp.broadcast_to(r, batch + r.shape[-2:]).reshape(B, n, C)
@@ -434,27 +451,46 @@ def try_fused_mlp_pallas(rows, z0, field, method, m, dt_sub, n):
         [flat_rows(b_rows), flat_rows(c_rows), flat_rows(d_rows),
          jnp.zeros((B, n, _SLAB - 3 * C), jnp.float32)], axis=-1)
     ct2 = jnp.transpose(ct, (1, 2, 0)).reshape(n * _SLAB, B)
-    ct2 = jnp.pad(ct2, ((0, 0), (0, Bp - B)))
+    p.ct2 = jnp.pad(ct2, ((0, 0), (0, Bp - B)))
 
-    z0f = jnp.broadcast_to(z0, batch + z0.shape[-1:]).reshape(B, H)
-    z0t = jnp.pad(z0f.T, ((0, Hp - H), (0, Bp - B)))
+    p.z0f = jnp.broadcast_to(z0, batch + z0.shape[-1:]).reshape(B, H)
+    p.z0t = jnp.pad(p.z0f.T, ((0, p.Hp - H), (0, Bp - B)))
 
-    w1t = jnp.pad(w1.T, ((0, 0), (0, Hp - H)))  # (W, Hp)
-    b1c = b1.reshape(W, 1)
+    p.w1t = jnp.pad(w1.T, ((0, 0), (0, p.Hp - H)))  # (W, Hp)
+    p.b1c = b1.reshape(W, 1)
     # Permute vector-field columns from the model's (h, i) = h*C + i flat
     # order to the kernel's i*H + h order, transpose, pad rows to CHp.
     w2p = w2.reshape(W, H, C).transpose(0, 2, 1).reshape(W, C * H)
-    w2t = jnp.pad(w2p.T, ((0, CHp - C * H), (0, 0)))  # (CHp, W)
+    p.w2t = jnp.pad(w2p.T, ((0, p.CHp - C * H), (0, 0)))  # (CHp, W)
     b2p = b2.reshape(H, C).T.reshape(C * H, 1)
-    b2c = jnp.pad(b2p, ((0, CHp - C * H), (0, 0)))
+    p.b2c = jnp.pad(b2p, ((0, p.CHp - C * H), (0, 0)))
+    return p
 
-    solve = _make_fused_solve(n, tile, n_tiles, m, float(dt_sub),
-                              _TABLEAUS[method], C, H, W, CHp, interpret)
-    zout = solve(ct2, z0t, w1t, b1c, w2t, b2c)  # (n*Hp, Bp)
 
-    knots = zout.reshape(n, Hp, Bp)[:, :H, :B]
-    knots = jnp.moveaxis(knots, 1, -1).reshape((n,) + batch + (H,))
-    z0b = jnp.broadcast_to(z0f.reshape(batch + (H,)), batch + (H,))
+def try_fused_mlp_pallas(rows, z0, field, method, m, dt_sub, n):
+    """Attempt the fused Pallas solve.
+
+    rows: (b, two_c, three_d) spline rows, each (..., n, C); z0 (..., H);
+    field: an MLPVectorField; m substeps of size dt_sub per interval (uniform
+    knot spacing).  Returns knots (n + 1, ..., H) time-leading (knot 0 = z0),
+    or None when not applicable.
+    """
+    interpret = _kernel_mode()
+    if interpret is None:
+        return None
+    if method not in _TABLEAUS or m > MAX_SUBSTEPS:
+        return None
+    p = _pack_operands(*rows, z0, field, n)
+    if p is None:
+        return None
+
+    solve = _make_fused_solve(n, p.tile, p.n_tiles, m, float(dt_sub),
+                              _TABLEAUS[method], p.C, p.H, p.W, p.CHp, interpret)
+    zout = solve(p.ct2, p.z0t, p.w1t, p.b1c, p.w2t, p.b2c)  # (n*Hp, Bp)
+
+    knots = zout.reshape(n, p.Hp, p.Bp)[:, :p.H, :p.B]
+    knots = jnp.moveaxis(knots, 1, -1).reshape((n,) + p.batch + (p.H,))
+    z0b = jnp.broadcast_to(p.z0f.reshape(p.batch + (p.H,)), p.batch + (p.H,))
     return jnp.concatenate([z0b[None], knots], axis=0)
 
 
@@ -696,63 +732,23 @@ def try_fused_reversible_heun(X, func, z0, ts, step_size):
         return None
     rows, _grid, out_idx, j0, jN, m, dt_sub, _uniform = plan
 
-    if _FORCE is False:
-        return None
-    interpret = False
-    if not _on_tpu():
-        if _FORCE is not True:
-            return None
-        interpret = True
-    elif jax.device_count() > 1:
+    interpret = _kernel_mode()
+    if interpret is None:
         return None
     if m > MAX_SUBSTEPS:
         return None
 
     b_rows, c_rows, d_rows = (r[..., j0:jN, :] for r in rows[1:])
     n = jN - j0
-    C = b_rows.shape[-1]
-    H = func.hidden_channels
-    w1, b1, w2, b2 = func.w1, func.b1, func.w2, func.b2
-    W = w1.shape[-1]
-    if w1.shape != (H, W) or w2.shape != (W, H * C) or func.input_channels != C:
-        return None
-    if W > MAX_WIDTH or C * H > MAX_CONTRACT or 3 * C > _SLAB:
-        return None
-    arrays = (b_rows, c_rows, d_rows, z0, w1, b1, w2, b2)
-    if any(a.dtype != jnp.float32 for a in arrays):
+    p = _pack_operands(b_rows, c_rows, d_rows, z0, func, n)
+    if p is None:
         return None
 
-    batch = jnp.broadcast_shapes(b_rows.shape[:-2], z0.shape[:-1])
-    B = int(np.prod(batch, dtype=np.int64)) if batch else 1
-    Hp = _round_up(H, 8)
-    CHp = _round_up(C * H, 8)
-    Bp = _round_up(max(B, 1), _LANES)
-    tile = min(1024, Bp)
-    Bp = _round_up(Bp, tile)  # tile * n_tiles must cover the padded batch
-    n_tiles = Bp // tile
-
-    def flat_rows(r):
-        return jnp.broadcast_to(r, batch + r.shape[-2:]).reshape(B, n, C)
-
-    ct = jnp.concatenate(
-        [flat_rows(b_rows), flat_rows(c_rows), flat_rows(d_rows),
-         jnp.zeros((B, n, _SLAB - 3 * C), jnp.float32)], axis=-1)
-    ct2 = jnp.transpose(ct, (1, 2, 0)).reshape(n * _SLAB, B)
-    ct2 = jnp.pad(ct2, ((0, 0), (0, Bp - B)))
-    z0f = jnp.broadcast_to(z0, batch + z0.shape[-1:]).reshape(B, H)
-    z0t = jnp.pad(z0f.T, ((0, Hp - H), (0, Bp - B)))
-    w1t = jnp.pad(w1.T, ((0, 0), (0, Hp - H)))
-    b1c = b1.reshape(W, 1)
-    w2p = w2.reshape(W, H, C).transpose(0, 2, 1).reshape(W, C * H)
-    w2t = jnp.pad(w2p.T, ((0, CHp - C * H), (0, 0)))
-    b2p = b2.reshape(H, C).T.reshape(C * H, 1)
-    b2c = jnp.pad(b2p, ((0, CHp - C * H), (0, 0)))
-
-    solve = _make_fused_rev_solve(n, tile, n_tiles, m, float(dt_sub),
-                                  C, H, W, CHp, interpret)
-    zout = solve(ct2, z0t, w1t, b1c, w2t, b2c)
-    knots = zout.reshape(n, Hp, Bp)[:, :H, :B]
-    knots = jnp.moveaxis(knots, 1, -1).reshape((n,) + batch + (H,))
-    z0b = jnp.broadcast_to(z0f.reshape(batch + (H,)), batch + (H,))
+    solve = _make_fused_rev_solve(n, p.tile, p.n_tiles, m, float(dt_sub),
+                                  p.C, p.H, p.W, p.CHp, interpret)
+    zout = solve(p.ct2, p.z0t, p.w1t, p.b1c, p.w2t, p.b2c)
+    knots = zout.reshape(n, p.Hp, p.Bp)[:, :p.H, :p.B]
+    knots = jnp.moveaxis(knots, 1, -1).reshape((n,) + p.batch + (p.H,))
+    z0b = jnp.broadcast_to(p.z0f.reshape(p.batch + (p.H,)), p.batch + (p.H,))
     all_knots = jnp.concatenate([z0b[None], knots], axis=0)
     return jnp.take(all_knots, jnp.asarray(out_idx - j0), axis=0)
