@@ -150,6 +150,13 @@ def bench_tpu(coeffs_np, y_np, n_steps):
     opt_state = optimizer.init(params)
     step = jax.jit(make_train_step(cfg, optimizer), donate_argnums=(0, 1))
 
+    # FLOP/byte denominators from XLA's cost model (Pallas kernels feed it
+    # their declared CostEstimates) — see benchmarks/roofline.py.
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
+    import roofline
+
+    cost = roofline.cost_of(step, params, opt_state, coeffs, y)
+
     params, opt_state, loss = step(params, opt_state, coeffs, y)  # compile
     loss0 = float(loss)  # host readback forces completion (block_until_ready
     # does not reliably wait on the remote-tunnel backend)
@@ -162,29 +169,40 @@ def bench_tpu(coeffs_np, y_np, n_steps):
     loss1 = float(loss)
     elapsed = time.perf_counter() - t0
     assert np.isfinite(loss1) and loss1 != loss0, (loss0, loss1)  # really training
-    return elapsed / n_steps, jax.devices()[0].platform
+    return elapsed / n_steps, jax.devices()[0].platform, cost
 
 
-def main():
+def main(run_all=False):
     X, y = spiral_data(BATCH, LENGTH)
     coeffs, _t = hermite_coeffs_numpy(X)
 
     torch_time = bench_torch_cpu(coeffs, y, TORCH_STEPS)
-    tpu_time, platform = bench_tpu(coeffs, y, TPU_STEPS)
+    tpu_time, platform, cost = bench_tpu(coeffs, y, TPU_STEPS)
     speedup = torch_time / tpu_time
 
-    print(
-        json.dumps(
-            {
-                "metric": f"spiral neural-CDE train step, batch {BATCH} (rk4, direct bp): "
-                          f"speedup vs torch-CPU reference impl [{platform}]",
-                "value": round(1000 * tpu_time, 3),
-                "unit": "ms/step",
-                "vs_baseline": round(speedup, 2),
-            }
-        )
-    )
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
+    import roofline
+
+    result = {
+        "metric": f"spiral neural-CDE train step, batch {BATCH} (rk4, direct bp): "
+                  f"speedup vs torch-CPU reference impl [{platform}]",
+        "value": round(1000 * tpu_time, 3),
+        "unit": "ms/step",
+        "vs_baseline": round(speedup, 2),
+    }
+    roofline.annotate(result, tpu_time, cost, per_iter=1)
+
+    if run_all:
+        # Refresh the committed all-config record (BENCHMARKS.json) so every
+        # BASELINE config has a regenerable number each round, not just the
+        # flagship line below.
+        import run_benchmarks
+
+        run_benchmarks.main([], record_path=os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCHMARKS.json"))
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(main(run_all="--all" in sys.argv[1:]))

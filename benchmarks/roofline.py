@@ -1,0 +1,94 @@
+"""Roofline accounting for the benchmark harness.
+
+Every benchmark number in this repo is also reported against the chip's
+ceilings: achieved TFLOP/s and GB/s, the fraction of peak each represents,
+and which bound (MXU flops, HBM bandwidth, or dispatch/latency) the kernel
+sits against.  FLOP and byte counts come from XLA's own cost model
+(``compiled.cost_analysis()``), which for Pallas kernels uses the
+``pl.CostEstimate`` each kernel declares — so the denominators track the code
+instead of hand-maintained constants.
+
+The reference (torchcde) publishes no performance numbers at all (SURVEY.md
+section 6), so these reports ARE the record; they must carry denominators to
+be falsifiable.
+"""
+
+import jax
+
+# Peak single-chip numbers (dense bf16 matmul TFLOP/s and HBM GB/s) from
+# Google's published TPU system specifications.  Matched by device_kind
+# prefix; report ``chip: unknown`` rather than guessing when unmatched.
+PEAKS = {
+    "TPU v5 lite": {"tflops_bf16": 197.0, "hbm_gbps": 819.0},  # v5e
+    "TPU v5e": {"tflops_bf16": 197.0, "hbm_gbps": 819.0},
+    "TPU v5p": {"tflops_bf16": 459.0, "hbm_gbps": 2765.0},
+    "TPU v5": {"tflops_bf16": 459.0, "hbm_gbps": 2765.0},
+    "TPU v4": {"tflops_bf16": 275.0, "hbm_gbps": 1228.0},
+    "TPU v6 lite": {"tflops_bf16": 918.0, "hbm_gbps": 1640.0},  # v6e/Trillium
+}
+
+
+def chip_kind():
+    try:
+        return jax.devices()[0].device_kind
+    except RuntimeError:  # pragma: no cover
+        return "unknown"
+
+
+def _peak_for(kind):
+    for prefix, peaks in PEAKS.items():
+        if kind.startswith(prefix):
+            return peaks
+    return None
+
+
+def cost_of(jitted, *args, **kwargs):
+    """XLA cost analysis {flops, bytes} of ``jitted(*args)`` or None."""
+    try:
+        compiled = jitted.lower(*args, **kwargs).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):  # older jax returns [dict]
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        bytes_accessed = float(ca.get("bytes accessed", 0.0))
+        if flops <= 0.0 and bytes_accessed <= 0.0:
+            return None
+        return {"flops": flops, "bytes": bytes_accessed}
+    except Exception:
+        return None
+
+
+def annotate(result, t_seconds, cost, per_iter=1):
+    """Adds {chip, tflops, gbps, pct_peak_mxu, pct_peak_hbm, bound} to a
+    benchmark ``result`` dict in place (and returns it).
+
+    ``cost`` is a dict from ``cost_of`` covering ``per_iter`` timed
+    iterations; ``t_seconds`` is the per-iteration time.
+    """
+    kind = chip_kind()
+    result["chip"] = kind
+    if cost is None or t_seconds <= 0:
+        return result
+    flops = cost["flops"] / per_iter
+    bytes_accessed = cost["bytes"] / per_iter
+    tflops = flops / t_seconds / 1e12
+    gbps = bytes_accessed / t_seconds / 1e9
+    result["tflops"] = round(tflops, 3)
+    result["gbps"] = round(gbps, 2)
+    peaks = _peak_for(kind)
+    if peaks is None:
+        return result
+    mxu_frac = tflops / peaks["tflops_bf16"]
+    hbm_frac = gbps / peaks["hbm_gbps"]
+    result["pct_peak_mxu"] = round(100 * mxu_frac, 2)
+    result["pct_peak_hbm"] = round(100 * hbm_frac, 2)
+    # The binding constraint is whichever ceiling the kernel is closer to;
+    # when it is far from both, per-op dispatch / serial latency dominates
+    # (the regime the fused kernels exist to escape).
+    if max(mxu_frac, hbm_frac) < 0.05:
+        result["bound"] = "dispatch/latency"
+    elif mxu_frac >= hbm_frac:
+        result["bound"] = "mxu"
+    else:
+        result["bound"] = "hbm"
+    return result

@@ -26,6 +26,18 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import roofline  # noqa: E402  (benchmarks/roofline.py)
+
+# Set by the timing helpers: (xla cost dict for the whole timed program,
+# iterations that program covers).  ``_annotate`` folds it into a result.
+_LAST_COST = (None, 1)
+
+
+def _annotate(result, t_seconds):
+    cost, per_iter = _LAST_COST
+    return roofline.annotate(result, t_seconds, cost, per_iter=per_iter)
 
 
 def _force(out):
@@ -71,6 +83,8 @@ def _chained_time(op, x, reps=8, extras=()):
         return final
 
     g = jax.jit(chained)
+    global _LAST_COST
+    _LAST_COST = (roofline.cost_of(g, x, *extras), reps)
     _force(g(x, *extras))
     t0 = time.perf_counter()
     _force(g(x, *extras))
@@ -94,6 +108,8 @@ def _scanned_train_time(step, params, opt_state, coeffs, y, reps=8):
         return losses[-1]
 
     g = jax.jit(run)
+    global _LAST_COST
+    _LAST_COST = (roofline.cost_of(g, params, opt_state, coeffs, y), reps)
     _force(g(params, opt_state, coeffs, y))
     t0 = time.perf_counter()
     _force(g(params, opt_state, coeffs, y))
@@ -131,8 +147,36 @@ def bench_spiral():
     step = make_train_step(cfg, opt)
 
     t = _scanned_train_time(step, params, opt_state, coeffs, jnp.asarray(y))
-    return {"metric": "spiral train step (hermite+dopri5 adjoint, batch 256, len 100)",
-            "value": round(1e3 * t, 3), "unit": "ms"}
+    return _annotate(
+        {"metric": "spiral train step (hermite+dopri5 adjoint, batch 256, len 100)",
+         "value": round(1e3 * t, 3), "unit": "ms"}, t)
+
+
+def bench_spiral_dopri_adjoint():
+    """The reference-DEFAULT configuration at north-star batch: dopri5,
+    tolerance-controlled, adjoint=True (solver.py:195-198) at batch 4096 —
+    routes to the fused adaptive kernel (chunk/group composition,
+    solvers/fused_dopri_pallas.py)."""
+    import jax, jax.numpy as jnp, optax
+    import torchcde_tpu as tc
+    from torchcde_tpu.models.neural_cde import NeuralCDEConfig, init_neural_cde
+    from torchcde_tpu.models.training import make_train_step
+
+    X, y = _spiral(4096, 100)
+    coeffs = tc.hermite_cubic_coefficients_with_backward_differences(jnp.asarray(X))
+    cfg = NeuralCDEConfig(
+        input_channels=3, hidden_channels=8, output_channels=1,
+        interpolation="cubic", solver="dopri5", adjoint=True,
+    )
+    params = init_neural_cde(jax.random.PRNGKey(0), cfg)
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    step = make_train_step(cfg, opt)
+
+    t = _scanned_train_time(step, params, opt_state, coeffs, jnp.asarray(y))
+    return _annotate(
+        {"metric": "spiral train step (hermite+dopri5 adjoint, batch 4096, len 100)",
+         "value": round(1e3 * t, 3), "unit": "ms"}, t)
 
 
 def bench_irregular():
@@ -150,12 +194,22 @@ def bench_irregular():
 
     # jit the whole pipeline: eager op-by-op execution pays a dispatch round
     # trip per op on the remote backend, which is not how preprocessing runs.
+    global _LAST_COST
     t_lin = _chained_time(jax.jit(lambda a: tc.linear_interpolation_coeffs(a)), xj)
+    cost_lin = _LAST_COST
     t_rect = _chained_time(
         jax.jit(lambda a: tc.linear_interpolation_coeffs(a, rectilinear=0)), xj
     )
-    return {"metric": "irregular NaN linear+rectilinear coeffs (1024x256x9, 30% missing)",
-            "value": round(1e3 * (t_lin + t_rect), 3), "unit": "ms"}
+    # Combine the two pipelines' costs for one roofline over the summed time.
+    if cost_lin[0] is not None and _LAST_COST[0] is not None:
+        _LAST_COST = (
+            {"flops": cost_lin[0]["flops"] + _LAST_COST[0]["flops"],
+             "bytes": cost_lin[0]["bytes"] + _LAST_COST[0]["bytes"]},
+            _LAST_COST[1],
+        )
+    return _annotate(
+        {"metric": "irregular NaN linear+rectilinear coeffs (1024x256x9, 30% missing)",
+         "value": round(1e3 * (t_lin + t_rect), 3), "unit": "ms"}, t_lin + t_rect)
 
 
 def bench_cubic_fit(batch=8192, length=4096, channels=1):
@@ -168,9 +222,10 @@ def bench_cubic_fit(batch=8192, length=4096, channels=1):
     xj = jnp.asarray(x)
     t = _chained_time(tc.natural_cubic_coeffs, xj, reps=4)
     gbytes = x.nbytes / 1e9
-    return {"metric": f"natural cubic NaN-masked fit ({batch}x{length}x{channels})",
-            "value": round(1e3 * t, 3), "unit": "ms",
-            "gb_per_s": round(gbytes / t, 2)}
+    return _annotate(
+        {"metric": f"natural cubic NaN-masked fit ({batch}x{length}x{channels})",
+         "value": round(1e3 * t, 3), "unit": "ms",
+         "gb_per_s": round(gbytes / t, 2)}, t)
 
 
 def bench_log_ode():
@@ -179,6 +234,8 @@ def bench_log_ode():
 
     X, _y = _spiral(32, 10000)
     xj = jnp.asarray(X)
+
+    import jax
 
     def run():
         return tc.logsig_windows(xj, 3, 100.0)
@@ -192,8 +249,13 @@ def bench_log_ode():
     outs = [run() for _ in range(reps)]
     _force(outs[-1])
     t = (time.perf_counter() - t0) / reps
-    return {"metric": "depth-3 logsig windows (32x10000x3, window 100)",
-            "value": round(1e3 * t, 3), "unit": "ms"}
+    global _LAST_COST
+    _LAST_COST = (
+        roofline.cost_of(jax.jit(lambda a: tc.logsig_windows(a, 3, 100.0)), xj), 1,
+    )
+    return _annotate(
+        {"metric": "depth-3 logsig windows (32x10000x3, window 100)",
+         "value": round(1e3 * t, 3), "unit": "ms"}, t)
 
 
 def bench_rev_heun():
@@ -223,8 +285,9 @@ def bench_rev_heun():
         yj = jax.device_put(yj, batch_sharding(mesh))
 
     t = _scanned_train_time(step, params, opt_state, coeffs, yj)
-    return {"metric": f"reversible-Heun train step (batch {batch}, {n_dev} device(s))",
-            "value": round(1e3 * t, 3), "unit": "ms"}
+    return _annotate(
+        {"metric": f"reversible-Heun train step (batch {batch}, {n_dev} device(s))",
+         "value": round(1e3 * t, 3), "unit": "ms"}, t)
 
 
 def bench_seq_pcr():
@@ -253,26 +316,71 @@ def bench_seq_pcr():
 
     b = jnp.asarray(rng.standard_normal((batch, k)), jnp.float32)
     t = _chained_time(op, b, reps=4, extras=(u, d, l))
-    return {"metric": f"seq-sharded tridiagonal solve ({batch}x{k}, {model} shard(s))",
-            "value": round(1e3 * t, 3), "unit": "ms"}
+    return _annotate(
+        {"metric": f"seq-sharded tridiagonal solve ({batch}x{k}, {model} shard(s))",
+         "value": round(1e3 * t, 3), "unit": "ms"}, t)
+
+
+def bench_seq_masked():
+    """BASELINE config 3 (NaN-masked cubic fit) with the LENGTH axis across
+    the mesh (parallel/seq_masked.py).  Single-device runs use a 1-shard mesh
+    so the entry always reports."""
+    import jax, jax.numpy as jnp
+    from torchcde_tpu.parallel.mesh import make_mesh
+    from torchcde_tpu.parallel.seq_masked import natural_cubic_coeffs_seq_sharded
+
+    n_dev = len(jax.devices())
+    model = n_dev if n_dev > 1 else 1
+    mesh = make_mesh(data=1, model=model)
+    batch, length = (2048, 4096) if jax.devices()[0].platform == "tpu" else (32, 512)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((batch, length, 1)).astype(np.float32)
+    x[rng.random(x.shape) < 0.2] = np.nan
+    xj = jnp.asarray(x)
+
+    def op(a):
+        return natural_cubic_coeffs_seq_sharded(a, None, mesh, axis="model")
+
+    t = _chained_time(jax.jit(op), xj, reps=4)
+    gbytes = x.nbytes / 1e9
+    return _annotate(
+        {"metric": f"seq-sharded NaN cubic fit ({batch}x{length}, {model} shard(s))",
+         "value": round(1e3 * t, 3), "unit": "ms",
+         "gb_per_s": round(gbytes / t, 2)}, t)
 
 
 BENCHES = {
     "spiral": bench_spiral,
+    "spiral_dopri_adjoint": bench_spiral_dopri_adjoint,
     "irregular": bench_irregular,
     "cubic_fit": bench_cubic_fit,
     "log_ode": bench_log_ode,
     "rev_heun": bench_rev_heun,
     "seq_pcr": bench_seq_pcr,
+    "seq_masked": bench_seq_masked,
 }
 
 
-def main(names):
+def main(names, record_path=None):
+    results = []
     for name in names or list(BENCHES):
         result = BENCHES[name]()
         result["name"] = name
         print(json.dumps(result))
+        results.append(result)
+    if record_path:
+        # The driver-visible, regenerable all-config record (VERDICT.md round
+        # 2 item 3): one entry per config with the roofline fields.
+        with open(record_path, "w") as f:
+            json.dump({"results": results}, f, indent=1)
+    return results
 
 
 if __name__ == "__main__":
-    main(sys.argv[1:])
+    argv = sys.argv[1:]
+    record = None
+    if "--record" in argv:
+        i = argv.index("--record")
+        record = argv[i + 1] if len(argv) > i + 1 else "BENCHMARKS.json"
+        argv = argv[:i] + argv[i + 2 if len(argv) > i + 1 else i + 1:]
+    main(argv, record_path=record)

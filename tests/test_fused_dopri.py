@@ -21,6 +21,10 @@ from torchcde_tpu.solvers.integrate import select_initial_step
 from torchcde_tpu.solvers.runge_kutta import DOPRI5, _solve_dense_midpoint
 from torchcde_tpu.solvers.terms import MLPVectorField, make_cde_rhs
 
+# Interpret-mode Pallas kernels are ~100x slower than compiled; this module
+# is part of the slow tier (run the fast core suite with -m 'not slow').
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture
 def forced_interpret():
@@ -96,10 +100,10 @@ def test_gradients_match_differentiable_replay_of_realised_mesh(forced_interpret
     dt0 = select_initial_step(rhs, jnp.float32(0.0), z0, 5, rtol, atol, f0)
     dt0 = jax.lax.stop_gradient(dt0).astype(jnp.float32).reshape(1, 1)
     solve = fdp._make_fused_dopri(
-        n, Bp, tuple(float(t) for t in ts), float(grid[0]),
+        n, Bp, (float(ts[1]),), float(ts[0]), float(ts[1]), float(grid[0]),
         float(np.diff(grid)[0]), rtol, atol, 4096, 2048, C, H, W, CHp, B,
         0.9, 10.0, 0.2, True)
-    _z, _zs, tst, dtst, cnt = solve._fwd_call(
+    _z, _zfin, _dtfin, _zs, tst, dtst, cnt = solve._fwd_call(
         ct2, z0t, w1t, b1.reshape(W, 1), w2t, b2c, dt0)
     cnt = int(cnt[0, 0])
     t_arr = np.asarray(tst)[:cnt, 0].astype(np.float64)
@@ -194,7 +198,7 @@ def test_adjoint_routes_and_is_finite(forced_interpret):
 
 
 def test_declines_out_of_caps(forced_interpret):
-    """Non-uniform grids and oversized batches decline to the XLA path."""
+    """Non-uniform grids decline to the XLA path."""
     B, L, C, H, W = 2, 5, 2, 3, 8
     args = _setup(B, L, C, H, W, seed=5, scale=0.1)
     x, z0, w1, b1, w2, b2 = args
@@ -207,14 +211,65 @@ def test_declines_out_of_caps(forced_interpret):
     assert out.shape == (B, 2, H)
     assert bool(jnp.all(jnp.isfinite(out)))
 
-    cfg_like = type("cfg", (), {"rtol": 1e-4, "atol": 1e-6, "max_steps": None,
-                                "safety": 0.9, "ifactor": 10.0, "dfactor": 0.2})
-    big_batch_z0 = jnp.zeros((fdp.MAX_TILE + 128, 3), jnp.float32)
-    big_x = jnp.zeros((fdp.MAX_TILE + 128, 5, 2), jnp.float32)
-    big_co = torchcde_tpu.hermite_cubic_coefficients_with_backward_differences(big_x)
-    Xb = CubicSpline(big_co)
-    assert fdp.try_fused_dopri5(Xb, field, big_batch_z0, np.asarray([0.0, 4.0]),
-                                cfg_like) is None
+
+def test_grouped_batch_matches_xla_path(forced_interpret, monkeypatch):
+    """Batches beyond MAX_TILE split into independent per-group solves with
+    their own controllers (module docstring): the grouped solve must route
+    fused, cover the ragged tail, and agree with the XLA whole-batch-norm
+    solve to solution accuracy."""
+    monkeypatch.setattr(fdp, "MAX_TILE", 128)
+    C, H, W = 2, 3, 8
+    B = 3 * 128 - 40  # three groups, ragged tail
+    args = _setup(B, 6, C, H, W, seed=7, scale=0.08)
+    x, z0, w1, b1, w2, b2 = args
+    t = np.asarray([0.0, 2.0, 5.0])
+    field = MLPVectorField(w1, b1, w2, b2, H, C)
+
+    co = torchcde_tpu.hermite_cubic_coefficients_with_backward_differences(x)
+    X = CubicSpline(co)
+    from torchcde_tpu.solvers.integrate import SolverConfig
+
+    cfg = SolverConfig(method="dopri5", rtol=1e-6, atol=1e-8)
+    out = fdp.try_fused_dopri5(X, field, z0, t, cfg)
+    assert out is not None and out.shape == (3, B, H)
+
+    fused_pallas.force_fused_pallas(False)
+    try:
+        ref = torchcde_tpu.cdeint(X=X, func=field, z0=z0, t=t, adjoint=False,
+                                  method="dopri5", rtol=1e-6, atol=1e-8)
+    finally:
+        fused_pallas.force_fused_pallas(True)
+    ref = jnp.moveaxis(ref, -2, 0)
+    assert jnp.max(jnp.abs(out - ref)) < 5e-3
+
+
+def test_chunked_intervals_match_xla_path(forced_interpret, monkeypatch):
+    """Coefficient tables beyond MAX_INTERVALS stream as carried chunks; the
+    chunked solve must agree with the XLA path to solution accuracy and its
+    gradients must track the XLA path's (same frozen-mesh semantics)."""
+    monkeypatch.setattr(fdp, "MAX_INTERVALS", 4)
+    B, L, C, H, W = 3, 14, 2, 3, 8  # n = 13 intervals -> 4 chunks
+    args = _setup(B, L, C, H, W, seed=9, scale=0.08)
+    t = jnp.asarray([0.0, 3.3, 9.0, 13.0], jnp.float32)
+    loss = _loss_fn(C, H, t, 1e-6, 1e-8)
+    (l_ref, out_ref), g_ref = jax.value_and_grad(loss, has_aux=True)(args, False)
+    (l_fp, out_fp), g_fp = jax.value_and_grad(loss, has_aux=True)(args, True)
+    assert out_fp.shape == out_ref.shape
+    assert jnp.max(jnp.abs(out_ref - out_fp)) < 1e-3
+    assert bool(jnp.all(jnp.isfinite(out_fp)))
+    # Gradient agreement: both are frozen-mesh gradients of meshes realising
+    # the same tight tolerance; they agree to a few parts in a thousand.
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_fp)):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-8
+        assert float(jnp.max(jnp.abs(a - b))) / scale < 2e-2
+
+    # Chunked adjoint=True routes the same kernel: exactly equal gradients.
+    loss_adj = _loss_fn(C, H, t, 1e-6, 1e-8, adjoint=True)
+    (_, _), g_adj = jax.value_and_grad(loss_adj, has_aux=True)(args, True)
+    for a, b in zip(jax.tree_util.tree_leaves(g_adj),
+                    jax.tree_util.tree_leaves(g_fp)):
+        assert jnp.allclose(a, b, rtol=1e-6, atol=1e-7)
 
 
 def test_multi_dim_batch_initial_step(forced_interpret):

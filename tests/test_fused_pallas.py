@@ -16,6 +16,10 @@ from torchcde_tpu.interpolation.cubic import CubicSpline
 from torchcde_tpu.solvers import fused_pallas
 from torchcde_tpu.solvers.terms import MLPVectorField
 
+# Interpret-mode Pallas kernels are ~100x slower than compiled; this module
+# is part of the slow tier (run the fast core suite with -m 'not slow').
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture
 def forced_interpret():

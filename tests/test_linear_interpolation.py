@@ -51,11 +51,16 @@ def test_random():
                 coeffs = torchcde_tpu.linear_interpolation_coeffs(jnp.asarray(values_clone), t=t_)
                 linear = torchcde_tpu.LinearInterpolation(coeffs, t=t_)
 
+                # jit once per spline: scalar-time evaluation stays the
+                # per-point contract of the reference test, but each probe is
+                # one cached executable instead of ~10 eager dispatches.
+                ev_fn = jax.jit(linear.evaluate)
+                dv_fn = jax.jit(linear.derivative)
                 for time, value in zip(t, values):
-                    ev = np.asarray(linear.evaluate(jnp.asarray(time)))
+                    ev = np.asarray(ev_fn(jnp.asarray(time)))
                     assert value.shape == ev.shape
                     assert np.allclose(value, ev, rtol=1e-4, atol=1e-6)
-                    dv = np.asarray(linear.derivative(jnp.asarray(time)))
+                    dv = np.asarray(dv_fn(jnp.asarray(time)))
                     assert m.shape == dv.shape
                     assert np.allclose(m, dv, rtol=1e-4, atol=1e-6)
 
@@ -74,10 +79,12 @@ def test_small():
         true_deriv = (x[1] - x[0]) / (end - start)
         coeffs = torchcde_tpu.linear_interpolation_coeffs(jnp.asarray(x), t=t_)
         linear = torchcde_tpu.LinearInterpolation(coeffs, t=t_)
+        ev_fn = jax.jit(linear.evaluate)
+        dv_fn = jax.jit(linear.derivative)
         for time in np.linspace(-1, 2, 20):
             true = x[0] + true_deriv * (time - t[0])
-            pred = np.asarray(linear.evaluate(jnp.asarray(time)))
-            deriv = np.asarray(linear.derivative(jnp.asarray(time)))
+            pred = np.asarray(ev_fn(jnp.asarray(time)))
+            deriv = np.asarray(dv_fn(jnp.asarray(time)))
             assert true_deriv.shape == deriv.shape
             assert np.allclose(true_deriv, deriv)
             assert true.shape == pred.shape
@@ -100,16 +107,19 @@ def test_specification_and_derivative():
                 x = rng.random((*batch_dims, length, channels))
                 coeffs = torchcde_tpu.linear_interpolation_coeffs(jnp.asarray(x), t=t_)
                 spline = torchcde_tpu.LinearInterpolation(coeffs, t=t_)
+                ev_fn = jax.jit(spline.evaluate)
+                dv_fn = jax.jit(spline.derivative)
                 # Specification: the interpolant passes through the knots.
                 for i, point in enumerate(t):
-                    ev = np.asarray(spline.evaluate(jnp.asarray(point)))
+                    ev = np.asarray(ev_fn(jnp.asarray(point)))
                     assert np.allclose(ev, x[..., i, :], atol=1e-5, rtol=1e-5)
                 # derivative(t) must equal d/dt evaluate(t) by autodiff.
                 eval_flat = lambda p: spline.evaluate(p).reshape(-1)
+                jac_fn = jax.jit(jax.jacfwd(eval_flat))
                 for point in rng.random(10):
                     point = jnp.asarray(point)
-                    derivative = np.asarray(spline.derivative(point)).reshape(-1)
-                    autoderivative = np.asarray(jax.jacfwd(eval_flat)(point))
+                    derivative = np.asarray(dv_fn(point)).reshape(-1)
+                    autoderivative = np.asarray(jac_fn(point))
                     assert derivative.shape == autoderivative.shape
                     assert np.allclose(derivative, autoderivative, atol=1e-5, rtol=1e-5)
 

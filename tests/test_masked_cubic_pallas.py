@@ -18,6 +18,10 @@ from torchcde_tpu.interpolation.cubic import (
 )
 from torchcde_tpu.ops.masked_cubic_pallas import masked_natural_cubic_pallas
 
+# Interpret-mode Pallas kernels are ~100x slower than compiled; this module
+# is part of the slow tier (run the fast core suite with -m 'not slow').
+pytestmark = pytest.mark.slow
+
 rng = np.random.default_rng(7)
 
 

@@ -87,3 +87,30 @@ def test_end_to_end_native_preprocessing():
         method="rk4",
     )
     assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+def test_natural_cubic_masked(dtype):
+    # The masked C++ kernel must match the JAX masked pipeline
+    # (interpolation/cubic.py _version=1) on NaN-heavy data, including an
+    # all-NaN channel and leading/trailing gaps.
+    x = rng.standard_normal((6, 24, 3)).astype(dtype)
+    x[rng.random(x.shape) < 0.35] = np.nan
+    x[1, :, 2] = np.nan           # all-NaN channel
+    x[2, :5, 0] = np.nan          # leading gap
+    x[3, -6:, 1] = np.nan         # trailing gap
+    t = np.sort(rng.random(24).astype(dtype)) * 5 + dtype(0.01) * np.arange(24, dtype=dtype)
+    ours = native.natural_cubic_masked(t, x)
+    ref = np.asarray(tc.natural_cubic_coeffs(jnp.asarray(x), jnp.asarray(t)))
+    atol = 1e-3 if dtype == np.float32 else 1e-9
+    assert ours.shape == ref.shape
+    assert np.allclose(ours, ref, atol=atol), np.abs(ours - ref).max()
+
+
+def test_natural_cubic_masked_dense_agrees():
+    # With no NaNs the masked kernel must reduce to the dense one.
+    x = rng.standard_normal((4, 16, 2))
+    t = np.arange(16, dtype=np.float64)
+    ours = native.natural_cubic_masked(t, x)
+    dense = native.natural_cubic_dense(t, x)
+    assert np.allclose(ours, dense, atol=1e-12)

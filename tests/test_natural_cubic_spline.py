@@ -23,10 +23,10 @@ def _test_equal_controls(num_channels, obj1, obj2, start, end, tol):
         sizes = tuple(int(rng.integers(1, 4)) for _ in range(dimension))
         expected_size = sizes + (num_channels,)
         eval_times = jnp.asarray(rng.random(sizes) * (end - start) + start)
-        e1 = np.asarray(obj1.evaluate(eval_times))
-        e2 = np.asarray(obj2.evaluate(eval_times))
-        d1 = np.asarray(obj1.derivative(eval_times))
-        d2 = np.asarray(obj2.derivative(eval_times))
+        e1 = np.asarray(jax.jit(obj1.evaluate)(eval_times))
+        e2 = np.asarray(jax.jit(obj2.evaluate)(eval_times))
+        d1 = np.asarray(jax.jit(obj1.derivative)(eval_times))
+        d2 = np.asarray(jax.jit(obj2.derivative)(eval_times))
         assert e1.shape == expected_size
         assert e2.shape == expected_size
         assert d1.shape == expected_size
@@ -88,14 +88,17 @@ def test_specification_and_derivative():
                     x = rng.random((*batch_dims, length, channels))
                     coeffs = interp_fn(jnp.asarray(x), t_)
                     spline = torchcde_tpu.CubicSpline(coeffs, t_)
+                    ev_fn = jax.jit(spline.evaluate)
+                    dv_fn = jax.jit(spline.derivative)
                     for i, point in enumerate(t):
-                        ev = np.asarray(spline.evaluate(jnp.asarray(point)))
+                        ev = np.asarray(ev_fn(jnp.asarray(point)))
                         assert np.allclose(ev, x[..., i, :], atol=1e-5, rtol=1e-5)
                     eval_flat = lambda p: spline.evaluate(p).reshape(-1)
+                    jac_fn = jax.jit(jax.jacfwd(eval_flat))
                     for point in rng.random(5):
                         point = jnp.asarray(point)
-                        derivative = np.asarray(spline.derivative(point)).reshape(-1)
-                        autoderivative = np.asarray(jax.jacfwd(eval_flat)(point))
+                        derivative = np.asarray(dv_fn(point)).reshape(-1)
+                        autoderivative = np.asarray(jac_fn(point))
                         assert derivative.shape == autoderivative.shape
                         assert np.allclose(derivative, autoderivative, atol=1e-5, rtol=1e-5)
 
@@ -249,11 +252,11 @@ def test_reproduces_analytic_natural_cubic():
             torchcde_tpu.natural_cubic_coeffs(jnp.asarray(y), t=jnp.asarray(t)),
             t=jnp.asarray(t),
         )
+        ev_fn = jax.jit(spline.evaluate)
+        dv_fn = jax.jit(spline.derivative)
         for tq in r.uniform(t[0], t[-1], 12):
             val, der = oracle(float(tq))
-            np.testing.assert_allclose(
-                np.asarray(spline.evaluate(jnp.asarray(tq))), val, atol=1e-9
-            )
-            np.testing.assert_allclose(
-                np.asarray(spline.derivative(jnp.asarray(tq))), der, atol=1e-9
-            )
+            np.testing.assert_allclose(np.asarray(ev_fn(jnp.asarray(tq))), val,
+                                       atol=1e-9)
+            np.testing.assert_allclose(np.asarray(dv_fn(jnp.asarray(tq))), der,
+                                       atol=1e-9)

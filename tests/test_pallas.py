@@ -21,6 +21,10 @@ from torchcde_tpu.ops.tridiagonal_pallas import (
     tridiagonal_solve_pallas,
 )
 
+# Interpret-mode Pallas kernels are ~100x slower than compiled; this module
+# is part of the slow tier (run the fast core suite with -m 'not slow').
+pytestmark = pytest.mark.slow
+
 rng = np.random.default_rng(99)
 
 
@@ -167,3 +171,39 @@ def test_masked_fill_vjp_matches_scan_ad(reverse):
     np.testing.assert_allclose(
         np.asarray(jax.grad(f1)(v)), np.asarray(jax.grad(f2)(v)), rtol=1e-12
     )
+
+
+def test_bfloat16_upcast_matches_f32():
+    # The shared dtype gate (ops/pallas_dispatch.py) admits bf16 by upcasting
+    # kernel operands to f32: the bf16 result must equal the f32 kernel result
+    # rounded to bf16, not a natively-bf16 (8-mantissa-bit) solve.
+    b, u, d, l = _system((4, 96))
+    ref32 = tridiagonal_solve_pallas(b, u, d, l, interpret=True)
+    got16 = tridiagonal_solve_pallas(
+        b.astype(jnp.bfloat16), u.astype(jnp.bfloat16),
+        d.astype(jnp.bfloat16), l.astype(jnp.bfloat16), interpret=True)
+    assert got16.dtype == jnp.bfloat16
+    # Inputs were rounded to bf16 first, so compare against the f32 solve of
+    # the rounded system.
+    ref = tridiagonal_solve_pallas(
+        b.astype(jnp.bfloat16).astype(jnp.float32),
+        u.astype(jnp.bfloat16).astype(jnp.float32),
+        d.astype(jnp.bfloat16).astype(jnp.float32),
+        l.astype(jnp.bfloat16).astype(jnp.float32), interpret=True)
+    np.testing.assert_allclose(np.asarray(got16, np.float32), np.asarray(ref),
+                               rtol=1e-2, atol=1e-2)
+    err_vs_f32 = np.abs(np.asarray(got16, np.float32) - np.asarray(ref32)).max()
+    assert err_vs_f32 < 0.05
+
+
+def test_bfloat16_streaming_fill_upcast():
+    from torchcde_tpu.ops.fill import masked_fill_scan
+    from torchcde_tpu.ops.fill_pallas import masked_fill_pallas
+
+    vals = jnp.asarray(rng.standard_normal((4, 600)), jnp.bfloat16)
+    obs = jnp.asarray(rng.random((4, 600)) > 0.4)
+    got = masked_fill_pallas(vals, obs, interpret=True)
+    ref = masked_fill_scan(vals, obs, axis=-1)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32), rtol=1e-2, atol=1e-2)

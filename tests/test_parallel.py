@@ -180,3 +180,44 @@ def test_tensor_parallel_custom_vector_field_rules():
     g_tp = jax.jit(jax.grad(loss))(params_s, coeffs_s)
     for a, b in zip(jax.tree_util.tree_leaves(g_tp), jax.tree_util.tree_leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-8, atol=1e-10)
+
+
+@pytest.mark.slow
+def test_seq_sharded_masked_cubic_fit_matches_single_device():
+    # VERDICT r2 item 4: the NaN-masked natural-cubic fit with the LENGTH
+    # axis across the mesh must match the single-device masked pipeline.
+    from torchcde_tpu.parallel.seq_masked import natural_cubic_coeffs_seq_sharded
+
+    x = rng.standard_normal((4, 64, 3))
+    x[rng.random(x.shape) < 0.35] = np.nan
+    x[1, :, 2] = np.nan       # all-NaN channel
+    x[2, :10, 0] = np.nan     # leading gap
+    x[3, -12:, 1] = np.nan    # trailing gap
+    x[0, 8:40, 0] = np.nan    # a gap spanning multiple shards
+    t = np.sort(rng.random(64)) * 9 + 0.01 * np.arange(64)
+    xj = jnp.asarray(x)
+    tj = jnp.asarray(t)
+
+    ref = tc.natural_cubic_coeffs(xj, tj)
+
+    mesh = make_mesh(data=1, model=8)
+    got = natural_cubic_coeffs_seq_sharded(xj, tj, mesh, axis="model")
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-8, atol=1e-8)
+
+
+@pytest.mark.slow
+def test_seq_sharded_masked_cubic_fit_with_batch_sharding():
+    from torchcde_tpu.parallel.seq_masked import natural_cubic_coeffs_seq_sharded
+
+    x = rng.standard_normal((8, 32, 2))
+    x[rng.random(x.shape) < 0.25] = np.nan
+    xj = jnp.asarray(x)
+    ref = tc.natural_cubic_coeffs(xj)
+
+    mesh = make_mesh(data=2, model=4)
+    got = natural_cubic_coeffs_seq_sharded(xj, None, mesh, axis="model",
+                                           batch_axis="data")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-8, atol=1e-8)

@@ -163,3 +163,54 @@ def test_bfloat16_end_to_end():
     assert np.isfinite(o16).all()
     scale = np.abs(o32).max() + 1e-6
     assert np.max(np.abs(o16 - o32)) / scale < 0.1
+
+
+@pytest.mark.parametrize("method,rtol,atol,tol",
+                         [("dopri8", 1e-7, 1e-9, 1e-5),
+                          ("adaptive_heun", 1e-6, 1e-8, 1e-3),
+                          ("fehlberg2", 1e-6, 1e-8, 1e-3)])
+def test_extra_adaptive_methods_converge(method, rtol, atol, tol):
+    # The torchdiffeq method= passthrough breadth the reference consumes
+    # (/root/reference/torchcde/solver.py:226-227): dopri8, adaptive_heun and
+    # fehlberg2 must solve to their tolerances like bosh3/dopri5 do.
+    X, f, z0 = _problem()
+    ref = torchcde_tpu.cdeint(X, f, z0, X.interval, adjoint=False, method="rk4",
+                              options=dict(step_size=0.005))
+    out = torchcde_tpu.cdeint(X, f, z0, X.interval, adjoint=False, method=method,
+                              rtol=rtol, atol=atol)
+    assert np.allclose(np.asarray(out), np.asarray(ref), atol=tol)
+
+
+def test_dopri8_grad_paths():
+    # Gradients flow through the restart-per-output-time adaptive path too.
+    X, f, z0 = _problem()
+
+    def loss(z0_, adjoint):
+        out = torchcde_tpu.cdeint(X, f, z0_, X.interval, adjoint=adjoint,
+                                  method="dopri8", rtol=1e-5, atol=1e-7)
+        return jnp.sum(out[:, -1])
+
+    g_adj = jax.grad(lambda z: loss(z, True))(z0)
+    g_dir = jax.grad(lambda z: loss(z, False))(z0)
+    assert np.isfinite(np.asarray(g_adj)).all()
+    np.testing.assert_allclose(np.asarray(g_adj), np.asarray(g_dir),
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_jump_t_ignored_on_fixed_step_warns():
+    X, f, z0 = _problem()
+    jumps = jnp.asarray(np.arange(1.0, 9.0))
+    with pytest.warns(UserWarning, match="jump_t.*ignored by fixed-step"):
+        torchcde_tpu.cdeint(X, f, z0, X.interval, adjoint=False, method="rk4",
+                            options=dict(step_size=0.5, jump_t=jumps))
+    with pytest.warns(UserWarning, match="jump_t.*ignored by fixed-step"):
+        torchcde_tpu.cdeint(X, f, z0, X.interval, adjoint=True,
+                            method="reversible_heun",
+                            options=dict(step_size=0.5, jump_t=jumps))
+    # Adaptive methods without step_size honour jump_t: no warning.
+    import warnings as _warnings
+
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        torchcde_tpu.cdeint(X, f, z0, X.interval, adjoint=False, method="dopri5",
+                            options=dict(jump_t=jumps))

@@ -266,3 +266,42 @@ def test_fused_dopri5_on_tpu():
     vb = jnp.concatenate([v.ravel() for v in jax.tree_util.tree_leaves(g_fp)])
     cos = jnp.vdot(va, vb) / (jnp.linalg.norm(va) * jnp.linalg.norm(vb))
     assert cos > 0.99, cos
+
+
+def test_bfloat16_pallas_solve_on_tpu():
+    # The shared dtype gate (ops/pallas_dispatch.py) admits bf16 by upcasting
+    # to f32 inside the kernel: a compiled bf16 solve must match the f32
+    # kernel's result to bf16 rounding, and method="auto" must dispatch it.
+    from torchcde_tpu.ops.tridiagonal import tridiagonal_solve
+    from torchcde_tpu.ops.tridiagonal_pallas import tridiagonal_solve_pallas
+
+    b, u, d, l = _system((2048, 64))
+    ref32 = np.asarray(tridiagonal_solve_pallas(b, u, d, l))
+    got16 = tridiagonal_solve_pallas(
+        b.astype(jnp.bfloat16), u.astype(jnp.bfloat16),
+        d.astype(jnp.bfloat16), l.astype(jnp.bfloat16))
+    assert got16.dtype == jnp.bfloat16
+    scale = np.abs(ref32).max() + 1e-6
+    assert np.abs(np.asarray(got16, np.float32) - ref32).max() / scale < 0.05
+
+    auto16 = tridiagonal_solve(
+        b.astype(jnp.bfloat16), u.astype(jnp.bfloat16),
+        d.astype(jnp.bfloat16), l.astype(jnp.bfloat16))
+    assert auto16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(auto16, np.float32),
+                               np.asarray(got16, np.float32), rtol=1e-2,
+                               atol=1e-2)
+
+
+def test_bfloat16_streaming_fill_on_tpu():
+    from torchcde_tpu.ops.fill import masked_fill_scan
+    from torchcde_tpu.ops.fill_pallas import masked_fill_pallas
+
+    vals = jnp.asarray(rng.standard_normal((1024, 600)), jnp.bfloat16)
+    obs = jnp.asarray(rng.random((1024, 600)) > 0.4)
+    got = masked_fill_pallas(vals, obs)
+    ref = masked_fill_scan(vals, obs, axis=-1)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32), rtol=1e-2,
+                               atol=1e-2)

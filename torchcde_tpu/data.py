@@ -24,18 +24,18 @@ from . import native
 
 
 def _hermite_host(t, x):
+    if np.isnan(x).any():
+        # The reference Hermite path builds on linearly-infilled data
+        # (interpolation_hermite_cubic_bdiff.py:33); infill on the host too.
+        x = native.linear_infill(t, x)
     return native.hermite_coeffs(t, x)
 
 
 def _natural_cubic_host(t, x):
     if np.isnan(x).any():
-        # NaN paths go through the (batched, masked) JAX kernel; the dense
-        # native kernel covers the common fully-observed case.
-        import jax.numpy as jnp
-
-        from .interpolation.cubic import natural_cubic_coeffs
-
-        return np.asarray(natural_cubic_coeffs(jnp.asarray(x), jnp.asarray(t)))
+        # Masked C++ kernel: NaN batches stay on the loader threads instead
+        # of serialising preprocessing with device compute.
+        return native.natural_cubic_masked(t, x)
     return native.natural_cubic_dense(t, x)
 
 

@@ -165,6 +165,23 @@ def natural_cubic_dense(t, x, n_threads=None):
     )
 
 
+def natural_cubic_masked(t, x, n_threads=None):
+    """NaN-masked natural cubic coefficients (the ``natural_cubic_coeffs``
+    _version=1 semantics), packed (..., L - 1, 4 * C).  The host-side
+    counterpart of the masked JAX pipeline, so NaN batches — the library's
+    whole point (reference interpolation_cubic.py:78-167) — stay on the
+    loader threads instead of serialising with device compute."""
+    if _load() is None:
+        from ..interpolation.cubic import natural_cubic_coeffs
+        import jax.numpy as jnp
+
+        return np.asarray(natural_cubic_coeffs(jnp.asarray(x), jnp.asarray(t)))
+    return _batched_call(
+        "natural_cubic_masked", t, x, out_last_dim_factor=4, out_rows_delta=-1,
+        n_threads=n_threads,
+    )
+
+
 def hermite_coeffs(t, x, n_threads=None):
     """Hermite-with-backward-differences coefficients for fully-observed
     data, packed (..., L - 1, 4 * C)."""

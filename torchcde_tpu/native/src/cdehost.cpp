@@ -179,6 +179,118 @@ void natural_cubic_dense_impl(const T* t, const T* x, T* coeffs, int64_t n,
   });
 }
 
+// NaN-masked natural cubic spline, matching the JAX masked pipeline
+// (interpolation/cubic.py:_natural_cubic_coeffs_masked, _version=1) and the
+// reference's per-scalar recursion it replaces
+// (/root/reference/torchcde/interpolation_cubic.py:78-167): fill
+// forward/backward from the first/last observation, fit the natural spline
+// on the observed knots only, then re-base each observed-knot polynomial
+// onto every full-grid interval.
+template <typename T>
+void natural_cubic_masked_impl(const T* t, const T* x, T* coeffs, int64_t n,
+                               int64_t length, int64_t channels,
+                               int n_threads) {
+  parallel_for(n * channels, n_threads, [=](int64_t bc) {
+    int64_t i = bc / channels;
+    int64_t c = bc % channels;
+    const T* xi = x + i * length * channels;
+    T* co = coeffs + i * (length - 1) * 4 * channels;
+
+    // First/last observed position; all-NaN channels produce zero rows
+    // (reference interpolation_cubic.py:85-92).
+    int64_t first = -1, last = -1;
+    for (int64_t s = 0; s < length; ++s) {
+      if (!std::isnan(xi[s * channels + c])) {
+        if (first < 0) first = s;
+        last = s;
+      }
+    }
+    if (first < 0) {
+      for (int64_t s = 0; s + 1 < length; ++s) {
+        T* row = co + s * 4 * channels;
+        row[c] = row[channels + c] = row[2 * channels + c] =
+            row[3 * channels + c] = T(0);
+      }
+      return;
+    }
+
+    // Observed knots after _version=1 endpoint imputation: every position
+    // before `first` (value x[first]) and after `last` (value x[last]) is
+    // observed; interior NaNs stay missing.
+    std::vector<int64_t> obs;
+    std::vector<T> v;
+    obs.reserve(length);
+    v.reserve(length);
+    T vf = xi[first * channels + c];
+    T vl = xi[last * channels + c];
+    for (int64_t s = 0; s < length; ++s) {
+      T val = xi[s * channels + c];
+      if (s < first) val = vf;
+      else if (s > last) val = vl;
+      if (!std::isnan(val)) {
+        obs.push_back(s);
+        v.push_back(val);
+      }
+    }
+    int64_t m = (int64_t)obs.size();
+
+    // Natural spline on the observed knots (same construction as the dense
+    // kernel above, just on the compacted grid).
+    std::vector<T> a(std::max<int64_t>(m, 1)), b(std::max<int64_t>(m, 1)),
+        two_c(std::max<int64_t>(m, 1)), three_d(std::max<int64_t>(m, 1));
+    if (m == 1) {
+      a[0] = v[0];
+      b[0] = two_c[0] = three_d[0] = T(0);
+    } else {
+      std::vector<T> hr(m - 1), pds(m - 1), diag(m), rhs(m), nd(m), nb(m),
+          kd(m);
+      for (int64_t j = 0; j + 1 < m; ++j) {
+        T h = t[obs[j + 1]] - t[obs[j]];
+        hr[j] = T(1) / h;
+        pds[j] = T(3) * (v[j + 1] - v[j]) * hr[j] * hr[j];
+      }
+      for (int64_t j = 0; j < m; ++j) {
+        T left = (j > 0) ? hr[j - 1] : T(0);
+        T right = (j + 1 < m) ? hr[j] : T(0);
+        diag[j] = T(2) * (left + right);
+        rhs[j] = ((j > 0) ? pds[j - 1] : T(0)) + ((j + 1 < m) ? pds[j] : T(0));
+      }
+      thomas_one(rhs.data(), hr.data(), diag.data(), hr.data(), kd.data(),
+                 nd.data(), nb.data(), m);
+      for (int64_t j = 0; j + 1 < m; ++j) {
+        T six_pd_hr = T(6) * (v[j + 1] - v[j]) * hr[j];
+        a[j] = v[j];
+        b[j] = kd[j];
+        two_c[j] = (six_pd_hr - T(4) * kd[j] - T(2) * kd[j + 1]) * hr[j];
+        three_d[j] = (-six_pd_hr + T(3) * (kd[j] + kd[j + 1])) * hr[j] * hr[j];
+      }
+      // Past the final knot the polynomial continues from the last interval's
+      // knot; the masked JAX path fills the same way (never reached when the
+      // imputation makes position length-1 observed).
+      a[m - 1] = v[m - 1];
+      b[m - 1] = (m >= 2) ? b[m - 2] : T(0);
+      two_c[m - 1] = (m >= 2) ? two_c[m - 2] : T(0);
+      three_d[m - 1] = (m >= 2) ? three_d[m - 2] : T(0);
+    }
+
+    // Re-base the last observed knot's polynomial onto each grid interval:
+    // with o = t_obs - t_grid, p(tau + (t_grid - t_obs)) expands to the
+    // shifted coefficients below (interpolation/cubic.py re-base algebra).
+    int64_t j = 0;
+    for (int64_t s = 0; s + 1 < length; ++s) {
+      while (j + 1 < m && obs[j + 1] <= s) ++j;
+      int64_t jj = std::min<int64_t>(j, std::max<int64_t>(m - 2, 0));
+      T o = t[obs[jj]] - t[s];
+      T ak = a[jj], bk = b[jj], ck = two_c[jj], dk = three_d[jj];
+      T* row = co + s * 4 * channels;
+      row[c] = ak + ((T(0.5) * ck - dk * o / T(3)) * o - bk) * o;
+      row[channels + c] = bk + (dk * o - ck) * o;
+      row[2 * channels + c] = ck - T(2) * dk * o;
+      row[3 * channels + c] = dk;
+    }
+  });
+}
+
 // Hermite cubic with backward differences on fully-observed data
 // (reference interpolation_hermite_cubic_bdiff.py:5-20).
 template <typename T>
@@ -261,6 +373,18 @@ void natural_cubic_dense_f64(const double* t, const double* x, double* coeffs,
                              int64_t n, int64_t length, int64_t channels,
                              int n_threads) {
   natural_cubic_dense_impl(t, x, coeffs, n, length, channels, n_threads);
+}
+
+void natural_cubic_masked_f32(const float* t, const float* x, float* coeffs,
+                              int64_t n, int64_t length, int64_t channels,
+                              int n_threads) {
+  natural_cubic_masked_impl(t, x, coeffs, n, length, channels, n_threads);
+}
+
+void natural_cubic_masked_f64(const double* t, const double* x,
+                              double* coeffs, int64_t n, int64_t length,
+                              int64_t channels, int n_threads) {
+  natural_cubic_masked_impl(t, x, coeffs, n, length, channels, n_threads);
 }
 
 void hermite_coeffs_f32(const float* t, const float* x, float* coeffs,

@@ -103,9 +103,12 @@ def _fill_2d(arrays, obs, n_vals, reverse, interpret=False):
 
 def masked_fill_pallas(values, observed, reverse=False, interpret=False):
     """Streaming-kernel version of ops.fill.masked_fill_scan (axis=-1)."""
+    from .pallas_dispatch import upcast_kernel_operands
+
     single = not isinstance(values, (tuple, list))
     if single:
         values = (values,)
+    values, restore = upcast_kernel_operands(*values)
     shape = observed.shape
     k = shape[-1]
     obs2 = observed.reshape(-1, k).T.astype(values[0].dtype)
@@ -126,5 +129,5 @@ def masked_fill_pallas(values, observed, reverse=False, interpret=False):
     if kpad or npad:
         sl = slice(0, k) if not reverse else slice(kpad, kpad + k)
         outs = tuple(o[sl, :n] for o in outs)
-    outs = tuple(o.T.reshape(shape) for o in outs)
+    outs = tuple(restore(o.T.reshape(shape)) for o in outs)
     return outs[0] if single else outs

@@ -389,6 +389,9 @@ def masked_natural_cubic_pallas(t, x, interpret=False):
     each (..., length) full-grid rows (callers slice off the last row) —
     numerically matching interpolation/cubic.py's XLA masked pipeline.
     """
+    from .pallas_dispatch import upcast_kernel_operands
+
+    (x,), restore = upcast_kernel_operands(x)
     shape = x.shape
     k = shape[-1]
     x2 = x.reshape(-1, k).T
@@ -413,5 +416,5 @@ def masked_natural_cubic_pallas(t, x, interpret=False):
     out = []
     for arr in (a, b, c, d):
         arr = arr[:k, :n] if (kpad or npad) else arr
-        out.append(arr.T.reshape(shape))
+        out.append(restore(arr.T.reshape(shape)))
     return tuple(out)

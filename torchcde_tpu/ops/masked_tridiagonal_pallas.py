@@ -207,6 +207,11 @@ def masked_thomas_pallas(diag, rhs, hr, hr_prev, observed, interpret=False):
     natural-spline system living at observed positions (missing rows pass
     through), returning x with zeros at missing positions.
     """
+    from .pallas_dispatch import upcast_kernel_operands
+
+    (diag, rhs, hr, hr_prev), restore = upcast_kernel_operands(
+        diag, rhs, hr, hr_prev
+    )
     shape = diag.shape
     k = shape[-1]
     d2 = diag.reshape(-1, k).T
@@ -228,4 +233,4 @@ def masked_thomas_pallas(diag, rhs, hr, hr_prev, observed, interpret=False):
     x = _masked_solve_2d(d2, r2, hp2, h2, o2, interpret=interpret)
     if kpad or npad:
         x = x[:k, :n]
-    return x.T.reshape(shape)
+    return restore(x.T.reshape(shape))

@@ -136,17 +136,17 @@ def tridiagonal_solve(b, A_upper, A_diagonal, A_lower, *, method="auto"):
     "auto".
     """
     if method == "auto":
+        from .pallas_dispatch import streaming_kernel_eligible
+
         shape = jnp.broadcast_shapes(A_diagonal.shape, b.shape)
         k = shape[-1]
-        batch = 1
-        for dim in shape[:-1]:
-            batch *= dim
         dtype = jnp.result_type(b.dtype, A_diagonal.dtype)
         if jax.default_backend() == "tpu":
-            # device_count guard: a pallas_call would gather sharded operands
-            # onto one device; XLA PCR partitions over a mesh instead.
-            if (k > 16 and batch >= 1024 and jax.device_count() == 1
-                    and dtype in (jnp.float32, jnp.bfloat16)):
+            # The shared streaming-kernel gate (single device, f32/bf16 with
+            # bf16 upcast inside the kernel) with this kernel's own
+            # batch/length profitability thresholds.
+            if streaming_kernel_eligible(shape, dtype, min_batch=1024,
+                                         min_length=17):
                 method = "pallas"
             elif k > 256:
                 # Long systems: the sequential Thomas scan pays per-iteration

@@ -298,6 +298,11 @@ def tridiagonal_solve_pallas(b, A_upper, A_diagonal, A_lower, *, interpret=False
     ``interpret=True`` runs the kernel in the Pallas interpreter (any
     backend), used by the CPU equivalence tests.
     """
+    from .pallas_dispatch import upcast_kernel_operands
+
+    (b, A_upper, A_diagonal, A_lower), restore = upcast_kernel_operands(
+        b, A_upper, A_diagonal, A_lower
+    )
     shape = jnp.broadcast_shapes(A_diagonal.shape, b.shape)
     k = shape[-1]
     off_shape = shape[:-1] + (k - 1,)
@@ -306,7 +311,7 @@ def tridiagonal_solve_pallas(b, A_upper, A_diagonal, A_lower, *, interpret=False
     u_ = jnp.broadcast_to(A_upper, off_shape).reshape(-1, k - 1)
     l_ = jnp.broadcast_to(A_lower, off_shape).reshape(-1, k - 1)
     x = _tridiagonal_pallas(b_, u_, d_, l_, interpret)
-    return x.reshape(shape)
+    return restore(x.reshape(shape))
 
 
 def on_tpu() -> bool:

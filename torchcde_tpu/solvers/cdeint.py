@@ -243,6 +243,12 @@ def cdeint(X, func, z0, t, adjoint=True, backend="native", **kwargs):
         # continuous backsolve.
         from .reversible_adjoint import reversible_heun_solve
 
+        if jump_t is not None:
+            warnings.warn(
+                "options={'jump_t': ...} is ignored by fixed-step methods "
+                "(reversible_heun): steps may straddle the declared "
+                "derivative discontinuities."
+            )
         if not is_concrete(t):
             raise ValueError(
                 "reversible_heun with adjoint=True needs concrete output "

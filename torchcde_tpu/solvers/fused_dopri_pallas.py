@@ -7,7 +7,7 @@ scalars per attempted step, each paying the ~4.6us fixed dispatch cost that
 already motivated the fixed-step kernel (fused_pallas.py).  This kernel runs
 the whole adaptive integration inside one Pallas program:
 
-* the full coefficient table sits in VMEM (uniform knot spacing, so the
+* the coefficient table sits in VMEM (uniform knot spacing, so the
   interval of any stage time is ``floor((t - t0)/w)`` — no searchsorted);
 * a ``lax.while_loop`` carries (t, dt, step counters) as scalars with the
   state and FSAL stage in VMEM scratch, replicating integrate.py's PI
@@ -27,9 +27,26 @@ sequence"), with O(accepted_steps * H) residual memory.  It therefore serves
 both ``adjoint=False`` and eligible ``adjoint=True`` solves, like the
 fixed-step kernel.
 
-Single batch tile only (the error norm couples the whole batch, and tiles
-execute sequentially): batch <= MAX_TILE = 512 after padding; larger batches
-take the XLA path.
+North-star scale (lifting round 2's caps) is handled by COMPOSING kernel
+calls at the XLA level rather than growing the kernel:
+
+* Batches beyond one tile (MAX_TILE lanes) split into independent per-group
+  solves — batch elements of a CDE are independent ODEs, so each group gets
+  its own PI controller.  SEMANTIC NOTE: torchdiffeq (and the XLA path)
+  control the step size with ONE error norm over the whole batch; the
+  grouped kernel controls each MAX_TILE-lane group separately.  Both are
+  standard dopri5 solves to the same tolerances — gradients and dense output
+  are exact for the realised mesh either way — but step sequences differ
+  from the whole-batch norm's (each group's solution is exactly the kernel's
+  single-tile answer for that sub-batch).
+* Coefficient tables beyond MAX_INTERVALS stream as chunks: the solve runs
+  chunk-by-chunk over [grid[j0], grid[j1]] windows with (state, dt proposal)
+  carried between chunks and the FSAL stage re-evaluated at each chunk
+  entry.  Steps clamp to chunk boundaries (the was_clamped rule preserves
+  the dt proposal across them), adding at most one extra step boundary per
+  chunk versus the unchunked mesh.  Output times are routed to the chunk
+  whose span contains them; gradients compose across chunks through plain
+  autodiff over the per-chunk custom_vjps.
 """
 
 import functools
@@ -50,9 +67,9 @@ from .fused_pallas import (
 )
 from .runge_kutta import DOPRI5, _solve_dense_midpoint
 
-MAX_TILE = 512     # single batch tile; the whole-batch error norm couples it
-MAX_INTERVALS = 128  # coefficient table + its gradient both live in VMEM
-MAX_OUT_TIMES = 64
+MAX_TILE = 512     # lanes per kernel call; one error norm couples one tile
+MAX_INTERVALS = 128  # coefficient-table chunk held in VMEM per call
+MAX_OUT_TIMES = 64   # dense-output rows per chunk
 _STORE_CAP = 2048  # accepted-step trajectory rows (HBM, DMA-written)
 
 # Quartic dense-output inverse system (integrate.py _QUARTIC_MINV).  Python
@@ -89,17 +106,30 @@ def _masked_error_ratio(err, z0, z1, rtol, atol, mask, count):
     return jnp.sqrt(jnp.sum(scaled * scaled) / count)
 
 
+def _dense_coeffs(theta):
+    """Quartic interpolant weights (cA, cB, cC) at theta (traced scalar)."""
+    m = _MINV
+    p2 = theta * theta
+    p3 = p2 * theta
+    p4 = p3 * theta
+    cA = p2 * m[2][0] + p3 * m[1][0] + p4 * m[0][0]
+    cB = p2 * m[2][1] + p3 * m[1][1] + p4 * m[0][1]
+    cC = p2 * m[2][2] + p3 * m[1][2] + p4 * m[0][2]
+    return cA, cB, cC
+
+
 def _dopri_fwd_kernel(ct_ref, z0_ref, w1_ref, b1_ref, w2_ref, b2_ref, dt0_ref,
-                      zout_ref, zst_ref, tst_ref, dtst_ref, cnt_ref,
-                      z_scr, k1_scr, dma_sem,
-                      *, ts, t0g, w, n, rtol, atol, max_steps, cap,
-                      C, H, B, safety, ifactor, dfactor):
+                      zout_ref, zfin_ref, dtfin_ref, zst_ref, tst_ref,
+                      dtst_ref, cnt_ref, z_scr, k1_scr, dma_sem,
+                      *, out_ts, t_start, t_end, t0g, w, n, rtol, atol,
+                      max_steps, cap, C, H, B, safety, ifactor, dfactor):
     CHp = w2_ref.shape[0]
     Hp = z0_ref.shape[0]
     tile = z0_ref.shape[1]
     rep, sel = _selection_matrices(C, H, CHp, jnp.float32)
     w1t, b1 = w1_ref[:, :], b1_ref[:, :]
     w2t, b2 = w2_ref[:, :], b2_ref[:, :]
+    n_out = len(out_ts)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (Hp, tile), 1)
     sub = jax.lax.broadcasted_iota(jnp.int32, (Hp, tile), 0)
@@ -114,22 +144,22 @@ def _dopri_fwd_kernel(ct_ref, z0_ref, w1_ref, b1_ref, w2_ref, b2_ref, dt0_ref,
 
     z0 = z0_ref[:, :]
     z_scr[:, :] = z0
-    t_start = jnp.float32(ts[0])
-    t_end = jnp.float32(ts[-1])
-    k1_scr[:, :] = f_eval(z0, t_start)
-    for k in range(len(ts)):
+    t0 = jnp.float32(t_start)
+    t1 = jnp.float32(t_end)
+    k1_scr[:, :] = f_eval(z0, t0)
+    for k in range(max(n_out, 1)):
         zout_ref[pl.ds(k * Hp, Hp), :] = z0
 
     def cond(carry):
         t, _dt, attempted, cnt = carry
-        return (t < t_end) & (attempted < max_steps) & (cnt < cap)
+        return (t < t1) & (attempted < max_steps) & (cnt < cap)
 
     def body(carry):
         t, dt, attempted, cnt = carry
         z = z_scr[:, :]
         k1 = k1_scr[:, :]
         dt = jnp.maximum(dt, 1e-14)
-        dt_c = jnp.minimum(dt, t_end - t)
+        dt_c = jnp.minimum(dt, t1 - t)
 
         ks = [k1]
         for alpha_i, beta_i in zip(_ALPHA, _BETA):
@@ -177,20 +207,14 @@ def _dopri_fwd_kernel(ct_ref, z0_ref, w1_ref, b1_ref, w2_ref, b2_ref, dt0_ref,
             for q, coef in enumerate(_BMID):
                 if coef != 0.0:
                     y_mid = y_mid + (dt_c * coef) * ks[q]
-            for k in range(1, len(ts)):
-                ts_k = jnp.float32(ts[k])
+            for k in range(n_out):
+                ts_k = jnp.float32(out_ts[k])
 
                 @pl.when((ts_k > t) & (ts_k <= t + dt_c))
                 def _(k=k, ts_k=ts_k, y_mid=y_mid):
                     theta = jnp.clip((ts_k - t) / jnp.maximum(dt_c, 1e-30),
                                      0.0, 1.0)
-                    m = _MINV
-                    p2 = theta * theta
-                    p3 = p2 * theta
-                    p4 = p3 * theta
-                    cA = p2 * m[2][0] + p3 * m[1][0] + p4 * m[0][0]
-                    cB = p2 * m[2][1] + p3 * m[1][1] + p4 * m[0][1]
-                    cC = p2 * m[2][2] + p3 * m[1][2] + p4 * m[0][2]
+                    cA, cB, cC = _dense_coeffs(theta)
                     rA = z1 - z - dt_c * ks[0]
                     rB = dt_c * (ks[-1] - ks[0])
                     rC = y_mid - z - 0.5 * dt_c * ks[0]
@@ -206,31 +230,35 @@ def _dopri_fwd_kernel(ct_ref, z0_ref, w1_ref, b1_ref, w2_ref, b2_ref, dt0_ref,
 
     dt0 = dt0_ref[0, 0]
     zero = jnp.zeros((), jnp.int32)
-    _t, _dt, attempted, cnt = jax.lax.while_loop(
-        cond, body, (t_start, dt0, zero, zero)
+    _t, dt_fin, attempted, cnt = jax.lax.while_loop(
+        cond, body, (t0, dt0, zero, zero)
     )
     cnt_ref[0, 0] = cnt
+    zfin_ref[:, :] = z_scr[:, :]
+    dtfin_ref[0, 0] = dt_fin
 
 
 def _dopri_bwd_kernel(ct_ref, zst_ref, tst_ref, dtst_ref, cnt_ref, gz_ref,
-                      w1_ref, b1_ref, w2_ref, b2_ref,
+                      gzfin_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                       dct_ref, dz0_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
                       lam_scr, emit_scr, zvm_scr, dma_sem,
-                      *, ts, t0g, w, n, C, H):
+                      *, out_ts, t0g, w, n, C, H):
     CHp = w2_ref.shape[0]
     Hp = dz0_ref.shape[0]
     tile = dz0_ref.shape[1]
     rep, sel = _selection_matrices(C, H, CHp, jnp.float32)
     w1t, b1 = w1_ref[:, :], b1_ref[:, :]
     w2t, b2 = w2_ref[:, :], b2_ref[:, :]
-    n_out = len(ts)
+    n_out = len(out_ts)
 
     dct_ref[:, :] = jnp.zeros_like(dct_ref)
     dw1_ref[:, :] = jnp.zeros_like(dw1_ref)
     db1_ref[:, :] = jnp.zeros_like(db1_ref)
     dw2_ref[:, :] = jnp.zeros_like(dw2_ref)
     db2_ref[:, :] = jnp.zeros_like(db2_ref)
-    lam_scr[:, :] = jnp.zeros_like(lam_scr)
+    # lambda at the chunk's end = cotangent of the carried-out state (zero
+    # for the final chunk; the next chunk's dz0 when chained).
+    lam_scr[:, :] = gzfin_ref[:, :]
     emit_scr[:, :] = jnp.zeros_like(emit_scr)  # (1, n_out_pad) emitted flags
 
     cnt = cnt_ref[0, 0]
@@ -293,18 +321,12 @@ def _dopri_bwd_kernel(ct_ref, zst_ref, tst_ref, dtst_ref, cnt_ref, gz_ref,
         u_mid = jnp.zeros_like(lam)
 
         # Dense-output cotangents for output times emitted inside this step.
-        for k in range(1, n_out):
-            ts_k = jnp.float32(ts[k])
+        for k in range(n_out):
+            ts_k = jnp.float32(out_ts[k])
             hit = (ts_k > t) & (ts_k <= t + dt)
             gk = gz_ref[pl.ds(k * Hp, Hp), :]
             theta = jnp.clip((ts_k - t) / jnp.maximum(dt, 1e-30), 0.0, 1.0)
-            m = _MINV
-            p2 = theta * theta
-            p3 = p2 * theta
-            p4 = p3 * theta
-            cA = p2 * m[2][0] + p3 * m[1][0] + p4 * m[0][0]
-            cB = p2 * m[2][1] + p3 * m[1][1] + p4 * m[0][1]
-            cC = p2 * m[2][2] + p3 * m[1][2] + p4 * m[0][2]
+            cA, cB, cC = _dense_coeffs(theta)
             hitf = hit.astype(jnp.float32)
             gku = gk * hitf
             lam_z = lam_z + (1.0 - cA - cC) * gku
@@ -338,24 +360,29 @@ def _dopri_bwd_kernel(ct_ref, zst_ref, tst_ref, dtst_ref, cnt_ref, gz_ref,
 
     jax.lax.fori_loop(0, cnt, body, 0)
 
-    # dz0 = lambda at t0 + cotangents of output rows never emitted (they
-    # retained their z0 initialisation, including ts[0] itself).
+    # dz0 = lambda at the chunk start + cotangents of output rows never
+    # emitted (they retained their chunk-entry initialisation).
     dz0 = lam_scr[:, :]
     for k in range(n_out):
-        if k == 0:
-            miss = jnp.float32(1.0)
-        else:
-            miss = 1.0 - emit_scr[0:1, pl.ds(k, 1)][0, 0]
+        miss = 1.0 - emit_scr[0:1, pl.ds(k, 1)][0, 0]
         dz0 = dz0 + miss * gz_ref[pl.ds(k * Hp, Hp), :]
     dz0_ref[:, :] = dz0
 
 
-@functools.lru_cache(maxsize=32)
-def _make_fused_dopri(n, tile, ts, t0g, w, rtol, atol, max_steps, cap,
-                      C, H, W, CHp, B, safety, ifactor, dfactor, interpret):
+@functools.lru_cache(maxsize=64)
+def _make_fused_dopri(n, tile, out_ts, t_start, t_end, t0g, w, rtol, atol,
+                      max_steps, cap, C, H, W, CHp, B, safety, ifactor,
+                      dfactor, interpret):
+    """One chunk solve [t_start, t_end] over an n-interval coefficient table.
+
+    Returns (zout, zfin, dtfin): dense output at ``out_ts`` (rows of z0 for
+    times outside the realised mesh), the carried-out state, and the step
+    proposal at exit (mesh data — feed it to the next chunk through
+    stop_gradient)."""
     Hp = _round_up(H, 8)
-    n_out = len(ts)
-    n_out_pad = _round_up(max(n_out, 1), _LANES)
+    n_out = len(out_ts)
+    n_out_rows = max(n_out, 1)
+    n_out_pad = _round_up(n_out_rows, _LANES)
 
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     hbm = pl.BlockSpec(memory_space=pltpu.ANY)
@@ -363,18 +390,21 @@ def _make_fused_dopri(n, tile, ts, t0g, w, rtol, atol, max_steps, cap,
 
     fwd_call = pl.pallas_call(
         functools.partial(
-            _dopri_fwd_kernel, ts=ts, t0g=t0g, w=w, n=n, rtol=rtol, atol=atol,
+            _dopri_fwd_kernel, out_ts=out_ts, t_start=t_start, t_end=t_end,
+            t0g=t0g, w=w, n=n, rtol=rtol, atol=atol,
             max_steps=max_steps, cap=cap, C=C, H=H, B=B, safety=safety,
             ifactor=ifactor, dfactor=dfactor),
         out_shape=(
-            jax.ShapeDtypeStruct((n_out * Hp, tile), jnp.float32),  # zout
+            jax.ShapeDtypeStruct((n_out_rows * Hp, tile), jnp.float32),  # zout
+            jax.ShapeDtypeStruct((Hp, tile), jnp.float32),          # z final
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),              # dt final
             jax.ShapeDtypeStruct((cap * Hp, tile), jnp.float32),    # z store (HBM)
             jax.ShapeDtypeStruct((cap, 128), jnp.float32),          # t store
             jax.ShapeDtypeStruct((cap, 128), jnp.float32),          # dt store
             jax.ShapeDtypeStruct((1, 1), jnp.int32),                # count
         ),
         in_specs=[vspec] * 6 + [smem_scalar],
-        out_specs=(vspec, hbm, vspec, vspec, smem_scalar),
+        out_specs=(vspec, vspec, smem_scalar, hbm, vspec, vspec, smem_scalar),
         scratch_shapes=[pltpu.VMEM((Hp, tile), jnp.float32),
                         pltpu.VMEM((Hp, tile), jnp.float32),
                         pltpu.SemaphoreType.DMA(())],
@@ -382,7 +412,7 @@ def _make_fused_dopri(n, tile, ts, t0g, w, rtol, atol, max_steps, cap,
     )
 
     bwd_call = pl.pallas_call(
-        functools.partial(_dopri_bwd_kernel, ts=ts, t0g=t0g, w=w, n=n,
+        functools.partial(_dopri_bwd_kernel, out_ts=out_ts, t0g=t0g, w=w, n=n,
                           C=C, H=H),
         out_shape=(
             jax.ShapeDtypeStruct((n * _SLAB, tile), jnp.float32),  # dct
@@ -392,7 +422,7 @@ def _make_fused_dopri(n, tile, ts, t0g, w, rtol, atol, max_steps, cap,
             jax.ShapeDtypeStruct((CHp, W), jnp.float32),
             jax.ShapeDtypeStruct((CHp, 1), jnp.float32),
         ),
-        in_specs=[vspec, hbm, vspec, vspec, smem_scalar] + [vspec] * 5,
+        in_specs=[vspec, hbm, vspec, vspec, smem_scalar] + [vspec] * 6,
         out_specs=(vspec,) * 6,
         scratch_shapes=[pltpu.VMEM((Hp, tile), jnp.float32),
                         pltpu.VMEM((1, n_out_pad), jnp.float32),
@@ -403,17 +433,21 @@ def _make_fused_dopri(n, tile, ts, t0g, w, rtol, atol, max_steps, cap,
 
     @jax.custom_vjp
     def solve(ct2, z0t, w1t, b1, w2t, b2, dt0):
-        zout, _zs, _t, _dt, _c = fwd_call(ct2, z0t, w1t, b1, w2t, b2, dt0)
-        return zout
+        zout, zfin, dtfin, _zs, _t, _dt, _c = fwd_call(
+            ct2, z0t, w1t, b1, w2t, b2, dt0)
+        return zout, zfin, dtfin
 
     def solve_fwd(ct2, z0t, w1t, b1, w2t, b2, dt0):
-        zout, zs, tst, dtst, c = fwd_call(ct2, z0t, w1t, b1, w2t, b2, dt0)
-        return zout, (ct2, z0t, w1t, b1, w2t, b2, zs, tst, dtst, c)
+        zout, zfin, dtfin, zs, tst, dtst, c = fwd_call(
+            ct2, z0t, w1t, b1, w2t, b2, dt0)
+        return (zout, zfin, dtfin), (ct2, z0t, w1t, b1, w2t, b2, zs, tst,
+                                     dtst, c)
 
-    def solve_bwd(res, gz):
+    def solve_bwd(res, cotangents):
+        gz, gzfin, _gdtfin = cotangents  # dt proposal is mesh, not value
         ct2, z0t, w1t, b1, w2t, b2, zs, tst, dtst, c = res
         dct, dz0, dw1, db1, dw2, db2 = bwd_call(
-            ct2, zs, tst, dtst, c, gz, w1t, b1, w2t, b2)
+            ct2, zs, tst, dtst, c, gz, gzfin, w1t, b1, w2t, b2)
         zero_dt = jnp.zeros((1, 1), jnp.float32)
         return dct, dz0, dw1, db1, dw2, db2, zero_dt
 
@@ -422,14 +456,48 @@ def _make_fused_dopri(n, tile, ts, t0g, w, rtol, atol, max_steps, cap,
     return solve
 
 
+def _chunk_plan(grid, ts_np):
+    """Splits the knot grid into interval chunks of <= MAX_INTERVALS and
+    routes each output time (after ts[0]) to the chunk whose span contains
+    it.  Returns a list of (j0, j1, t_start, t_end, out_ts, out_idx)."""
+    n = grid.shape[0] - 1
+    t0, tN = float(ts_np[0]), float(ts_np[-1])
+    chunks = []
+    prev_end = t0
+    j0 = 0
+    while j0 < n:
+        j1 = min(j0 + MAX_INTERVALS, n)
+        start = float(grid[j0]) if j0 > 0 else min(t0, float(grid[0]))
+        end = float(grid[j1]) if j1 < n else max(tN, float(grid[n]))
+        if end <= t0 + 0.0:      # chunk entirely before the solve begins
+            j0 = j1
+            continue
+        if start >= tN:          # chunk entirely after the solve ends
+            break
+        t_start = max(start, t0)
+        t_end = min(end, tN)
+        out_idx = [
+            k for k in range(1, len(ts_np))
+            if prev_end < ts_np[k] <= t_end
+        ]
+        out_ts = tuple(float(ts_np[k]) for k in out_idx)
+        chunks.append((j0, j1, t_start, t_end, out_ts, tuple(out_idx)))
+        prev_end = t_end
+        j0 = j1
+        if t_end >= tN:
+            break
+    return chunks
+
+
 def try_fused_dopri5(X, func, z0, ts, cfg):
     """Attempt the fused adaptive dopri5 solve.
 
     Requires: MLPVectorField over a CubicSpline with a concrete uniform knot
     grid, concrete output times, f32, no step_size (tolerance-controlled),
-    batch <= MAX_TILE (512) after padding, single device.  Returns the
-    time-leading
-    solution at ``ts`` or None.
+    single device.  Batches larger than MAX_TILE lanes run as independent
+    per-group solves and coefficient tables larger than MAX_INTERVALS stream
+    as carried chunks (see module docstring for the controller semantics).
+    Returns the time-leading solution at ``ts`` or None.
     """
     from ..interpolation.cubic import CubicSpline
     from . import fused_pallas
@@ -455,17 +523,19 @@ def try_fused_dopri5(X, func, z0, ts, cfg):
         ts_np = np.asarray(ts, dtype=np.float64)
     else:
         return None
-    if len(ts_np) > MAX_OUT_TIMES:
-        return None
     spans = np.diff(grid.astype(np.float64))
     if not np.allclose(spans, spans[0], rtol=1e-9, atol=1e-12):
         return None
     w = float(spans[0])
     n = grid.shape[0] - 1
-    if n > MAX_INTERVALS:
+
+    chunks = _chunk_plan(grid, ts_np)
+    if not chunks:
+        return None
+    if any(len(c[4]) > MAX_OUT_TIMES for c in chunks):
         return None
 
-    # The trajectory store bounds the kernel's step budget.  A caller who
+    # The trajectory store bounds each chunk's step budget.  A caller who
     # explicitly asks for a larger budget than the store gets the XLA path
     # (which honors it) instead of a silently smaller one; the default budget
     # is the store cap, far above any sane solve at these tolerances.
@@ -474,19 +544,24 @@ def try_fused_dopri5(X, func, z0, ts, cfg):
     max_steps = min(cfg.max_steps or 4096, _STORE_CAP)
     cap = max_steps
 
-    p = fused_pallas._pack_operands(X._b, X._two_c, X._three_d, z0, func, n,
-                                    single_tile=MAX_TILE)
-    if p is None:
+    # Validate field/dtype shapes once (full batch); per-group packing below.
+    p_full = fused_pallas._pack_operands(X._b, X._two_c, X._three_d, z0, func,
+                                         n)
+    if p_full is None:
         return None
 
-    # Joint VMEM residency estimate (coefficient table + its gradient, output
-    # rows + their cotangents, t/dt stores, weights, scratch): decline rather
-    # than hand Mosaic a program that cannot allocate.
-    n_out_pad = _round_up(max(len(ts_np), 1), _LANES)
-    resident_rows = 2 * n * _SLAB + len(ts_np) * p.Hp + 8 * p.Hp
+    # Joint VMEM residency estimate per chunk call (coefficient chunk + its
+    # gradient, output rows + cotangents, t/dt stores, weights, scratch):
+    # decline rather than hand Mosaic a program that cannot allocate.
+    tile = min(_round_up(max(p_full.B, 1), _LANES), MAX_TILE)
+    max_chunk_n = max(c[1] - c[0] for c in chunks)
+    max_chunk_out = max(max(len(c[4]), 1) for c in chunks)
+    resident_rows = 2 * max_chunk_n * _SLAB + 2 * max_chunk_out * p_full.Hp \
+        + 10 * p_full.Hp
     vmem_bytes = 4 * (
-        resident_rows * p.Bp + 2 * cap * 128
-        + p.W * (p.Hp + p.CHp + 2) + 2 * n_out_pad
+        resident_rows * tile + 2 * cap * 128
+        + p_full.W * (p_full.Hp + p_full.CHp + 2)
+        + 2 * _round_up(max_chunk_out, _LANES)
     )
     if vmem_bytes > 12 * 1024 * 1024:
         return None
@@ -497,18 +572,57 @@ def try_fused_dopri5(X, func, z0, ts, cfg):
     # the flattened (B, H) state would not broadcast against X.derivative.
     rhs = make_cde_rhs(func, X)
     t0 = jnp.asarray(ts_np[0], jnp.float32)
-    z0b = jnp.broadcast_to(z0, p.batch + z0.shape[-1:])
+    z0b = jnp.broadcast_to(z0, p_full.batch + z0.shape[-1:])
     f0 = rhs(t0, z0b)
-    dt0 = select_initial_step(rhs, t0, z0b, _ORDER, cfg.rtol, cfg.atol, f0)
-    dt0 = jax.lax.stop_gradient(dt0).astype(jnp.float32).reshape(1, 1)
+    dt0_full = select_initial_step(rhs, t0, z0b, _ORDER, cfg.rtol, cfg.atol, f0)
+    dt0_full = jax.lax.stop_gradient(dt0_full).astype(jnp.float32).reshape(1, 1)
 
-    solve = _make_fused_dopri(
-        n, p.Bp, tuple(float(t) for t in ts_np), float(grid[0]), w,
-        float(cfg.rtol), float(cfg.atol), int(max_steps), int(cap),
-        p.C, p.H, p.W, p.CHp, p.B, float(cfg.safety), float(cfg.ifactor),
-        float(cfg.dfactor), interpret)
-    zout = solve(p.ct2, p.z0t, p.w1t, p.b1c, p.w2t, p.b2c, dt0)
+    # Flatten batch; groups of <= MAX_TILE lanes solve independently.
+    B = p_full.B
+    batch_shape = p_full.batch
+    H = p_full.H
+    C = p_full.C
+    rows_flat = tuple(
+        jnp.broadcast_to(r, batch_shape + r.shape[-2:]).reshape(B, n, C)
+        for r in (X._b, X._two_c, X._three_d)
+    )
+    z0_flat = jnp.broadcast_to(z0, batch_shape + (H,)).reshape(B, H)
 
-    n_out = len(ts_np)
-    out = zout.reshape(n_out, p.Hp, p.Bp)[:, :p.H, :p.B]
-    return jnp.moveaxis(out, 1, -1).reshape((n_out,) + p.batch + (p.H,))
+    n_out_total = len(ts_np)
+    group_outs = []
+    for g0 in range(0, B, MAX_TILE):
+        g1 = min(g0 + MAX_TILE, B)
+        p = fused_pallas._pack_operands(
+            rows_flat[0][g0:g1], rows_flat[1][g0:g1], rows_flat[2][g0:g1],
+            z0_flat[g0:g1], func, n, single_tile=MAX_TILE)
+        if p is None:
+            return None
+
+        z_carry = p.z0t
+        dt_carry = dt0_full
+        out_rows = [None] * n_out_total
+        out_rows[0] = p.z0t
+        for (j0, j1, t_start, t_end, out_ts, out_idx) in chunks:
+            n_c = j1 - j0
+            ct_chunk = jax.lax.dynamic_slice_in_dim(
+                p.ct2, j0 * _SLAB, n_c * _SLAB, axis=0)
+            solve = _make_fused_dopri(
+                n_c, p.Bp, out_ts, t_start, t_end, float(grid[j0]), w,
+                float(cfg.rtol), float(cfg.atol), int(max_steps), int(cap),
+                C, H, p.W, p.CHp, p.B, float(cfg.safety), float(cfg.ifactor),
+                float(cfg.dfactor), interpret)
+            zout, z_carry, dt_fin = solve(
+                ct_chunk, z_carry, p.w1t, p.b1c, p.w2t, p.b2c, dt_carry)
+            # The carried proposal is mesh data like dt0 (stop_gradient'd
+            # above); its cotangent is discarded by solve_bwd anyway.
+            dt_carry = jax.lax.stop_gradient(dt_fin)
+            if out_idx:
+                z3 = zout.reshape(len(out_idx), p.Hp, p.Bp)
+                for row, k in enumerate(out_idx):
+                    out_rows[k] = z3[row]
+
+        stacked = jnp.stack(out_rows, axis=0)  # (n_out, Hp, Bp)
+        group_outs.append(stacked[:, :H, :p.B])
+
+    out = jnp.concatenate(group_outs, axis=-1)  # (n_out, H, B)
+    return jnp.moveaxis(out, 1, -1).reshape((n_out_total,) + batch_shape + (H,))

@@ -47,6 +47,15 @@ MAX_WIDTH = 512
 MAX_CONTRACT = 512  # C * H
 MAX_SUBSTEPS = 8
 
+# Batch-tile caps.  The solve is a serial chain of small matmuls (K = Hp or
+# W), so per-op MXU pipeline latency — not throughput — bounds it; wider
+# lanes amortise that fixed latency over more batch.  The backward tile is
+# smaller because the reverse walk holds every stage's (y, h1, g, dx) saved
+# activations live at once (~2.6 KB/lane for the flagship shapes); the
+# forward keeps only z and one stage in flight.
+MAX_TILE_FWD = 4096
+MAX_TILE_BWD = 2048
+
 # None: use the kernel when running on TPU.  True: force (interpret mode off
 # TPU — used by the CPU equivalence tests).  False: never.
 _FORCE = None
@@ -264,8 +273,8 @@ def _bwd_kernel(ct_ref, zin_ref, gz_ref, w1_ref, b1_ref, w2_ref, b2_ref,
 
 
 @functools.lru_cache(maxsize=64)
-def _make_fused_solve(n, tile, n_tiles, m, dt_sub, tableau, C, H, W, CHp,
-                      interpret):
+def _make_fused_solve(n, tile_fwd, n_tiles_fwd, tile_bwd, n_tiles_bwd, m,
+                      dt_sub, tableau, C, H, W, CHp, interpret):
     """Builds the custom_vjp'd solve over kernel-layout operands.
 
     Operands (all float32):
@@ -273,21 +282,29 @@ def _make_fused_solve(n, tile, n_tiles, m, dt_sub, tableau, C, H, W, CHp,
       z0t  (Hp, Bp)
       w1t  (W, Hp), b1 (W, 1), w2t (CHp, W), b2 (CHp, 1)
     Returns zout (n*Hp, Bp): the state at knots 1..n, batch in lanes.
+
+    Forward and backward run different batch-tile widths (the backward's
+    live set per lane is larger); both products must equal Bp.
     """
     Hp = _round_up(H, 8)
-    Bp = tile * n_tiles
-    grid = (n_tiles, n)
+    Bp = tile_fwd * n_tiles_fwd
+    assert Bp == tile_bwd * n_tiles_bwd
 
-    slab_spec = pl.BlockSpec((_SLAB, tile), lambda i, j: (j, i),
+    def specs(tile):
+        slab = pl.BlockSpec((_SLAB, tile), lambda i, j: (j, i),
+                            memory_space=pltpu.VMEM)
+        slab_rev = pl.BlockSpec((_SLAB, tile), lambda i, jr: (n - 1 - jr, i),
+                                memory_space=pltpu.VMEM)
+        z = pl.BlockSpec((Hp, tile), lambda i, j: (j, i),
+                         memory_space=pltpu.VMEM)
+        z_rev = pl.BlockSpec((Hp, tile), lambda i, jr: (n - 1 - jr, i),
                              memory_space=pltpu.VMEM)
-    slab_spec_rev = pl.BlockSpec((_SLAB, tile), lambda i, jr: (n - 1 - jr, i),
-                                 memory_space=pltpu.VMEM)
-    z_spec = pl.BlockSpec((Hp, tile), lambda i, j: (j, i),
+        z0 = pl.BlockSpec((Hp, tile), lambda i, j: (0, i),
                           memory_space=pltpu.VMEM)
-    z_spec_rev = pl.BlockSpec((Hp, tile), lambda i, jr: (n - 1 - jr, i),
-                              memory_space=pltpu.VMEM)
-    z0_spec = pl.BlockSpec((Hp, tile), lambda i, j: (0, i),
-                           memory_space=pltpu.VMEM)
+        return slab, slab_rev, z, z_rev, z0
+
+    slab_spec, _, z_spec, _, z0_spec = specs(tile_fwd)
+    _, slab_spec_rev, _, z_spec_rev, z0_spec_bwd = specs(tile_bwd)
 
     def rep_spec(shape):
         zero = (0,) * len(shape)
@@ -298,11 +315,11 @@ def _make_fused_solve(n, tile, n_tiles, m, dt_sub, tableau, C, H, W, CHp,
         functools.partial(_fwd_kernel, tableau=tableau, m=m, dt_sub=dt_sub,
                           C=C, H=H),
         out_shape=jax.ShapeDtypeStruct((n * Hp, Bp), jnp.float32),
-        grid=grid,
+        grid=(n_tiles_fwd, n),
         in_specs=[slab_spec, z0_spec, rep_spec((W, Hp)), rep_spec((W, 1)),
                   rep_spec((CHp, W)), rep_spec((CHp, 1))],
         out_specs=z_spec,
-        scratch_shapes=[pltpu.VMEM((Hp, tile), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((Hp, tile_fwd), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * m * 4 * (H * W + W * C * H) * n * Bp,
             bytes_accessed=4 * n * Bp * (_SLAB + 2 * Hp),
@@ -321,20 +338,20 @@ def _make_fused_solve(n, tile, n_tiles, m, dt_sub, tableau, C, H, W, CHp,
         out_shape=(
             jax.ShapeDtypeStruct((n * _SLAB, Bp), jnp.float32),   # dct
             jax.ShapeDtypeStruct((Hp, Bp), jnp.float32),          # dz0
-            jax.ShapeDtypeStruct((n_tiles, W, Hp), jnp.float32),  # dw1 parts
-            jax.ShapeDtypeStruct((n_tiles, W, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, CHp, W), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, CHp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles_bwd, W, Hp), jnp.float32),  # dw1 parts
+            jax.ShapeDtypeStruct((n_tiles_bwd, W, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles_bwd, CHp, W), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles_bwd, CHp, 1), jnp.float32),
         ),
-        grid=grid,
+        grid=(n_tiles_bwd, n),
         in_specs=[slab_spec_rev, z_spec_rev, z_spec_rev,
                   rep_spec((W, Hp)), rep_spec((W, 1)),
                   rep_spec((CHp, W)), rep_spec((CHp, 1))],
-        out_specs=(slab_spec_rev, z0_spec,
+        out_specs=(slab_spec_rev, z0_spec_bwd,
                    tile_out_spec((W, Hp)), tile_out_spec((W, 1)),
                    tile_out_spec((CHp, W)), tile_out_spec((CHp, 1))),
         scratch_shapes=[
-            pltpu.VMEM((Hp, tile), jnp.float32),
+            pltpu.VMEM((Hp, tile_bwd), jnp.float32),
             pltpu.VMEM((W, Hp), jnp.float32),
             pltpu.VMEM((W, 1), jnp.float32),
             pltpu.VMEM((CHp, W), jnp.float32),
@@ -401,7 +418,8 @@ class _Packed:
     """Validated, kernel-layout operands shared by the fused drivers."""
 
     __slots__ = ("ct2", "z0t", "w1t", "b1c", "w2t", "b2c", "z0f", "batch",
-                 "B", "Bp", "tile", "n_tiles", "C", "H", "W", "Hp", "CHp")
+                 "B", "Bp", "tile", "n_tiles", "tile_fwd", "n_tiles_fwd",
+                 "C", "H", "W", "Hp", "CHp")
 
 
 def _pack_operands(b_rows, c_rows, d_rows, z0, field, n, single_tile=None):
@@ -435,10 +453,16 @@ def _pack_operands(b_rows, c_rows, d_rows, z0, field, n, single_tile=None):
         if Bp > single_tile:
             return None
         p.tile, p.n_tiles = Bp, 1
+        p.tile_fwd, p.n_tiles_fwd = Bp, 1
     else:
-        p.tile = min(1024, Bp)
+        # The backward tile (holding all stage activations) caps the padding
+        # granularity; the forward runs the widest tile that still divides
+        # the padded batch (see MAX_TILE_FWD/BWD).
+        p.tile = min(MAX_TILE_BWD, Bp)
         Bp = _round_up(Bp, p.tile)  # tile * n_tiles must cover the batch
         p.n_tiles = Bp // p.tile
+        p.tile_fwd = MAX_TILE_FWD if Bp % MAX_TILE_FWD == 0 else p.tile
+        p.n_tiles_fwd = Bp // p.tile_fwd
     p.Bp = Bp
 
     def flat_rows(r):
@@ -484,8 +508,9 @@ def try_fused_mlp_pallas(rows, z0, field, method, m, dt_sub, n):
     if p is None:
         return None
 
-    solve = _make_fused_solve(n, p.tile, p.n_tiles, m, float(dt_sub),
-                              _TABLEAUS[method], p.C, p.H, p.W, p.CHp, interpret)
+    solve = _make_fused_solve(n, p.tile_fwd, p.n_tiles_fwd, p.tile, p.n_tiles,
+                              m, float(dt_sub), _TABLEAUS[method], p.C, p.H,
+                              p.W, p.CHp, interpret)
     zout = solve(p.ct2, p.z0t, p.w1t, p.b1c, p.w2t, p.b2c)  # (n*Hp, Bp)
 
     knots = zout.reshape(n, p.Hp, p.Bp)[:, :p.H, :p.B]

@@ -21,6 +21,7 @@ of a scalar ``lax.cond``.
 """
 
 import dataclasses
+import warnings
 from typing import Optional
 
 import jax
@@ -233,14 +234,19 @@ def _advance_adaptive(rhs, z0, t0, t1, dt0, state0, cfg, stepper, max_steps, jum
     def body(carry):
         t, z, dt, state, counts = carry
         attempted, accepted_n = counts
-        dt = jnp.maximum(dt, 1e-14)
+        # Freeze the controller for reverse AD, exactly like the dense-output
+        # loop above: the step-size proposal is mesh, not value (its gradient
+        # is the solver's non-smooth step-selection noise and explodes over
+        # many steps).  The t1 - t clamp stays differentiable so output-time
+        # sensitivity flows through the final step of each interval.
+        dt = jax.lax.stop_gradient(jnp.maximum(dt, 1e-14))
         dt_clamped = jnp.minimum(dt, t1 - t)
         if jump_t is not None:
             # Land exactly on derivative discontinuities (the torchdiffeq
             # options={'jump_t': ...} capability, reference README.md:240-249).
             dt_clamped = jnp.minimum(dt_clamped, _next_jump(jump_t, t) - t)
         z1, err, state1 = stepper.step(rhs, t, z, dt_clamped, state)
-        ratio = _error_ratio(err, cfg.rtol, cfg.atol, z, z1)
+        ratio = jax.lax.stop_gradient(_error_ratio(err, cfg.rtol, cfg.atol, z, z1))
         accept = ratio <= 1.0
         t_new = jnp.where(accept, t + dt_clamped, t)
         z_new = tree_select(accept, z1, z)
@@ -337,7 +343,8 @@ def odeint(rhs, z0, ts, cfg: SolverConfig, jump_t=None, differentiable=True,
         stepper = STEPPERS["dopri5_nofsal"]
     state0 = stepper.init(rhs, ts[0], z0)
     stages = {"euler": 1, "midpoint": 2, "heun": 2, "rk4": 4, "bosh3": 4,
-              "dopri5": 6, "dopri5_nofsal": 7, "reversible_heun": 1}.get(cfg.method, 1)
+              "dopri5": 6, "dopri5_nofsal": 7, "dopri8": 13, "adaptive_heun": 2,
+              "fehlberg2": 3, "reversible_heun": 1}.get(cfg.method, 1)
     if cfg.method == "dopri5" and jump_t is not None:
         stages = 7
     init_nfe = 1 if cfg.method in ("reversible_heun", "dopri5") else 0
@@ -348,7 +355,13 @@ def odeint(rhs, z0, ts, cfg: SolverConfig, jump_t=None, differentiable=True,
         f0 = rhs(ts[0], z0)
         dt0 = select_initial_step(rhs, ts[0], z0, stepper.order, cfg.rtol, cfg.atol, f0)
         init_nfe += 2  # initial-step-size heuristic
-        max_steps = cfg.max_steps or _ADAPTIVE_DEFAULT_MAX_STEPS
+        # Low-order adaptive methods take ~tol^(-1/(order+1)) steps — a flat
+        # budget sized for dopri5 silently truncates them.  The budget is
+        # cheap to over-provision: bounded_while_loop skips exhausted chunks
+        # with one scalar branch each (loops.py), and the plain while loop
+        # stops at the realised count anyway.
+        order_scale = 8 if stepper.order < 3 else 1
+        max_steps = cfg.max_steps or (_ADAPTIVE_DEFAULT_MAX_STEPS * order_scale)
 
         if stepper.step_dense is not None:
             # Continuous solve + dense output: NFE independent of len(ts).
@@ -377,6 +390,17 @@ def odeint(rhs, z0, ts, cfg: SolverConfig, jump_t=None, differentiable=True,
     else:
         # Fixed-step mode; with no step_size, one step per output interval
         # (torchdiffeq's default grid for fixed solvers is ``t`` itself).
+        if jump_t is not None:
+            # Loud, like the other unsupported-kwarg warnings (cdeint.py):
+            # silently straddling declared kinks burnt users of the
+            # reference's linear-interpolation recipe (README.md:194-199).
+            warnings.warn(
+                "options={'jump_t': ...} is ignored by fixed-step methods "
+                "(and by adaptive methods run with an explicit step_size): "
+                "steps may straddle the declared derivative discontinuities. "
+                "Use an adaptive method without step_size, or choose a "
+                "step_size that divides the jump times."
+            )
         n_static = _static_fixed_steps(ts, cfg.step_size)
         if n_static is None:
             # Traced `t`: the per-interval step count is data-dependent, so

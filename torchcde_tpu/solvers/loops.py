@@ -11,6 +11,7 @@ and scan/cond are both reverse-differentiable.
 """
 
 import jax
+import jax.numpy as jnp
 
 # Above this budget the scan is chunked with sqrt-rematerialisation: reverse
 # AD then stores O(sqrt(max_steps)) chunk-boundary carries plus one chunk of
@@ -35,7 +36,7 @@ def bounded_while_loop(cond_fun, body_fun, init_val, max_steps):
 
         def run(val):
             new_val = body_fun(val)
-            return new_val, ~cond_fun(new_val)
+            return new_val, jnp.logical_not(cond_fun(new_val))
 
         def skip(val):
             return val, done
@@ -43,7 +44,10 @@ def bounded_while_loop(cond_fun, body_fun, init_val, max_steps):
         val, done = jax.lax.cond(done, skip, run, val)
         return (val, done), None
 
-    init = (init_val, ~cond_fun(init_val))
+    # jnp.logical_not, not ``~``: with a *concrete* initial value cond_fun can
+    # return a Python bool, and Python's ~True is the int -2 — which would
+    # poison the loop-carry dtype.
+    init = (init_val, jnp.logical_not(cond_fun(init_val)))
     if max_steps <= _CHECKPOINT_THRESHOLD:
         (final_val, _), _ = jax.lax.scan(scan_body, init, None, length=max_steps)
         return final_val
@@ -57,7 +61,15 @@ def bounded_while_loop(cond_fun, body_fun, init_val, max_steps):
         return carry
 
     def outer_body(carry, _):
-        return chunk(carry), None
+        # Chunk-level early exit: once the loop condition is exhausted, the
+        # remaining outer iterations take the identity branch — one scalar
+        # branch per chunk instead of n_inner cond-guarded body skips, and
+        # (because the cond is outside the checkpoint) the backward pass
+        # recomputes nothing for skipped chunks.  Runtime is therefore
+        # proportional to the *realised* step count (rounded up to one
+        # chunk), not to the static max_steps budget, in both directions.
+        _, done = carry
+        return jax.lax.cond(done, lambda c: c, chunk, carry), None
 
     (final_val, _), _ = jax.lax.scan(outer_body, init, None, length=n_outer)
     return final_val
