@@ -181,6 +181,53 @@ def test_extra_adaptive_methods_converge(method, rtol, atol, tol):
     assert np.allclose(np.asarray(out), np.asarray(ref), atol=tol)
 
 
+@pytest.mark.parametrize("method", ["explicit_adams", "implicit_adams", "fixed_adams"])
+def test_adams_methods_converge(method):
+    # The fixed-grid multistep names of the torchdiffeq passthrough
+    # (/root/reference/torchcde/solver.py:226-227).  Spline-driven CDEs have
+    # derivative kinks at the knots, which any multistep history straddles,
+    # so the assertion is error decay + accuracy rather than smooth-problem
+    # order (see the _make_adams_stepper docstring).  Own-seed problem: the
+    # module rng is ordering-dependent and the decay bound is quantitative.
+    r = np.random.default_rng(7)
+    x = jnp.asarray(r.standard_normal((2, 10, 2)))
+    X = torchcde_tpu.CubicSpline(
+        torchcde_tpu.hermite_cubic_coefficients_with_backward_differences(x)
+    )
+    v = jnp.asarray(r.random((1, 1, 2)))
+    f = lambda t, z: jax.nn.sigmoid(z)[..., None] + v
+    z0 = jnp.asarray(r.random((2, 3)))
+    ref = torchcde_tpu.cdeint(X, f, z0, X.interval, adjoint=False, method="rk4",
+                              options=dict(step_size=0.005))
+    errs = []
+    for h in (0.1, 0.0125):
+        out = torchcde_tpu.cdeint(X, f, z0, X.interval, adjoint=False,
+                                  method=method, options=dict(step_size=h))
+        errs.append(np.abs(np.asarray(out) - np.asarray(ref)).max())
+    # Observed decay is clean order 2 (kink-limited): 8x refinement => ~64x.
+    assert errs[1] < errs[0] / 16
+    assert errs[1] < 5e-4
+
+
+def test_adams_grad_paths():
+    # Gradients flow through the stateful fixed-step loop (direct bounded
+    # loop and custom_vjp adjoint agree), and the bootstrap cond does not
+    # break reverse-mode.
+    X, f, z0 = _problem()
+
+    def loss(z0_, adjoint, m):
+        out = torchcde_tpu.cdeint(X, f, z0_, X.interval, adjoint=adjoint,
+                                  method=m, options=dict(step_size=0.05))
+        return jnp.sum(out[:, -1])
+
+    for m in ("explicit_adams", "implicit_adams"):
+        g_adj = jax.grad(lambda z: loss(z, True, m))(z0)
+        g_dir = jax.grad(lambda z: loss(z, False, m))(z0)
+        assert np.isfinite(np.asarray(g_adj)).all()
+        np.testing.assert_allclose(np.asarray(g_adj), np.asarray(g_dir),
+                                   rtol=1e-3, atol=5e-4)
+
+
 def test_dopri8_grad_paths():
     # Gradients flow through the restart-per-output-time adaptive path too.
     X, f, z0 = _problem()

@@ -34,7 +34,8 @@ from .adjoint import odeint_adjoint
 from .integrate import SolverConfig, odeint
 from .terms import make_cde_rhs
 
-_FIXED_METHODS = ("euler", "midpoint", "heun", "rk4", "reversible_heun")
+_FIXED_METHODS = ("euler", "midpoint", "heun", "rk4", "reversible_heun",
+                  "explicit_adams", "implicit_adams", "fixed_adams")
 
 
 def _shape(x):

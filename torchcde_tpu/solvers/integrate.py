@@ -344,10 +344,12 @@ def odeint(rhs, z0, ts, cfg: SolverConfig, jump_t=None, differentiable=True,
     state0 = stepper.init(rhs, ts[0], z0)
     stages = {"euler": 1, "midpoint": 2, "heun": 2, "rk4": 4, "bosh3": 4,
               "dopri5": 6, "dopri5_nofsal": 7, "dopri8": 13, "adaptive_heun": 2,
-              "fehlberg2": 3, "reversible_heun": 1}.get(cfg.method, 1)
+              "fehlberg2": 3, "reversible_heun": 1, "explicit_adams": 1,
+              "implicit_adams": 2, "fixed_adams": 2}.get(cfg.method, 1)
     if cfg.method == "dopri5" and jump_t is not None:
         stages = 7
-    init_nfe = 1 if cfg.method in ("reversible_heun", "dopri5") else 0
+    init_nfe = 1 if cfg.method in ("reversible_heun", "dopri5", "explicit_adams",
+                                   "implicit_adams", "fixed_adams") else 0
     if cfg.method == "dopri5" and jump_t is not None:
         init_nfe = 0
 

@@ -349,6 +349,60 @@ def _make_reversible_heun() -> Stepper:
     return Stepper(init=init, step=step, order=2, adaptive=False)
 
 
+def _make_adams_stepper(implicit: bool) -> Stepper:
+    """Fixed-step 4th-order Adams multistep methods: Adams–Bashforth
+    (torchdiffeq's "explicit_adams") and Adams–Bashforth–Moulton in PECE
+    predictor–corrector form ("implicit_adams" / "fixed_adams") — the
+    remaining fixed-grid names of the method= passthrough the reference
+    forwards to torchdiffeq (/root/reference/torchcde/solver.py:226-227).
+
+    The stepper state carries the derivative history (f_n .. f_{n-3}) and a
+    step counter; the first three steps bootstrap with single RK4 steps
+    inside a ``lax.cond`` so the bootstrap's extra evaluations are not paid
+    once the history is full.  Steady-state cost: 1 NFE/step explicit,
+    2 NFE/step implicit — the multistep economy that motivates Adams
+    methods.  The constant-step coefficients assume a uniform grid; the
+    driver's clamped final step (or a ``step_size`` that does not divide an
+    output interval) locally reduces the formal order, the same contract as
+    the fixed-grid Adams solvers being replaced.  Note that for CDEs driven
+    by spline controls the derivative has kinks at the knots; a multistep
+    history that straddles a kink costs local accuracy even when the steps
+    themselves land on it, so observed convergence on spline-driven problems
+    sits below the smooth-problem order (true of any fixed-grid multistep
+    method, including the ones being replaced).
+    """
+    AB4 = (55 / 24, -59 / 24, 37 / 24, -9 / 24)
+    AM4 = (9 / 24, 19 / 24, -5 / 24, 1 / 24)  # on (f_pred, f_n, f_{n-1}, f_{n-2})
+
+    def init(rhs, t0, z0):
+        f0 = rhs(t0, z0)
+        zero = tree_scale(0.0, f0)
+        return (jnp.zeros((), jnp.int32), (f0, zero, zero, zero))
+
+    def step(rhs, t, z, dt, state):
+        count, (f0, f1, f2, f3) = state
+
+        def adams(_):
+            zp = tree_axpy(dt, _weighted_sum(AB4, (f0, f1, f2, f3)), z)
+            if not implicit:
+                return zp
+            fp = rhs(t + dt, zp)
+            return tree_axpy(dt, _weighted_sum(AM4, (fp, f0, f1, f2)), z)
+
+        def bootstrap(_):
+            z1, _err = rk_step(RK4, rhs, t, z, dt)
+            return z1
+
+        z1 = jax.lax.cond(count >= 3, adams, bootstrap, None)
+        f_new = rhs(t + dt, z1)  # the trailing E of PECE; next step's f_n
+        return z1, None, (count + 1, (f_new, f0, f1, f2))
+
+    return Stepper(init=init, step=step, order=4, adaptive=False)
+
+
+_ADAMS_EXPLICIT = _make_adams_stepper(implicit=False)
+_ADAMS_IMPLICIT = _make_adams_stepper(implicit=True)
+
 STEPPERS = {
     "euler": _make_rk_stepper(EULER),
     "midpoint": _make_rk_stepper(MIDPOINT),
@@ -361,4 +415,7 @@ STEPPERS = {
     "adaptive_heun": _make_rk_stepper(ADAPTIVE_HEUN),
     "fehlberg2": _make_rk_stepper(FEHLBERG2),
     "reversible_heun": _make_reversible_heun(),
+    "explicit_adams": _ADAMS_EXPLICIT,
+    "implicit_adams": _ADAMS_IMPLICIT,
+    "fixed_adams": _ADAMS_IMPLICIT,  # torchdiffeq alias for the ABM corrector
 }
