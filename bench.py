@@ -195,11 +195,13 @@ def main(run_all=False):
     if run_all:
         # Refresh the committed all-config record (BENCHMARKS.json) so every
         # BASELINE config has a regenerable number each round, not just the
-        # flagship line below.
+        # flagship line below (which is recorded too, as "flagship_rk4").
         import run_benchmarks
 
-        run_benchmarks.main([], record_path=os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCHMARKS.json"))
+        run_benchmarks.main(
+            [], record_path=os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCHMARKS.json"),
+            extra_results=[{**result, "name": "flagship_rk4"}])
 
     print(json.dumps(result))
 

@@ -86,9 +86,14 @@ def _chained_time(op, x, reps=8, extras=()):
     global _LAST_COST
     _LAST_COST = (roofline.cost_of(g, x, *extras), reps)
     _force(g(x, *extras))
-    t0 = time.perf_counter()
-    _force(g(x, *extras))
-    return (time.perf_counter() - t0) / reps
+    # Median of 3 rounds: the remote tunnel occasionally injects a multi-x
+    # latency spike into a single round, which a one-shot sweep would record.
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _force(g(x, *extras))
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times)) / reps
 
 
 def _scanned_train_time(step, params, opt_state, coeffs, y, reps=8):
@@ -111,9 +116,51 @@ def _scanned_train_time(step, params, opt_state, coeffs, y, reps=8):
     global _LAST_COST
     _LAST_COST = (roofline.cost_of(g, params, opt_state, coeffs, y), reps)
     _force(g(params, opt_state, coeffs, y))
-    t0 = time.perf_counter()
-    _force(g(params, opt_state, coeffs, y))
-    return (time.perf_counter() - t0) / reps
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _force(g(params, opt_state, coeffs, y))
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times)) / reps
+
+
+def _dopri_probe_cost(params, cfg, coeffs, reps):
+    """Analytic FLOP/byte denominators for the adaptive (fused-dopri) train
+    configs.  XLA's cost model cannot see inside the fused kernel's
+    data-dependent while loop (it reports ~zero for the whole step), so the
+    denominators come from a one-shot probe of the *realised* step counts on
+    the identical solve (direct path, ``return_stats=True``) converted to
+    FLOPs by the per-stage matmul counts of the MLP field.  First-order
+    model: forward = NFE stage evaluations; fused backward replays each
+    accepted step's 6 stages plus their VJPs (~3x a stage).  Bytes: the
+    coefficient table (read forward + backward), the per-accepted-step
+    trajectory store (write + read), and the dct cotangent table (write).
+    """
+    import jax.numpy as jnp
+    import torchcde_tpu as tc
+    from torchcde_tpu.models.neural_cde import cde_func, make_control, _dense
+
+    X = make_control(coeffs, cfg)
+    z0 = _dense(params["initial"], X.evaluate(X.interval[0]))
+    _, stats = tc.cdeint(
+        X=X, func=cde_func(params, cfg), z0=z0, t=X.interval, adjoint=False,
+        method=cfg.solver, rtol=cfg.rtol, atol=cfg.atol, return_stats=True,
+    )
+    nfe = int(stats["nfe"])
+    accepted = int(stats["steps_accepted"])
+    B = int(np.prod(coeffs.shape[:-2]))
+    n = int(coeffs.shape[-2])
+    C, H, W = cfg.input_channels, cfg.hidden_channels, cfg.width
+    stage = 2 * B * (H * W + W * C * H + H * C)
+    flops = (nfe * stage + accepted * 6 * 3 * stage) * reps
+    bytes_ = 4 * reps * (
+        2 * B * n * int(coeffs.shape[-1])      # coefficient table, fwd + bwd
+        + 2 * accepted * B * H                 # trajectory store + reload
+        + B * n * int(coeffs.shape[-1])        # dct cotangents
+    )
+    return ({"flops": float(flops), "bytes": float(bytes_)}, reps,
+            {"nfe": nfe, "steps_accepted": accepted,
+             "flops_source": "analytic(nfe-probe)"})
 
 
 def _spiral(batch, length, seed=0):
@@ -147,9 +194,12 @@ def bench_spiral():
     step = make_train_step(cfg, opt)
 
     t = _scanned_train_time(step, params, opt_state, coeffs, jnp.asarray(y))
+    global _LAST_COST
+    cost, reps, extra = _dopri_probe_cost(params, cfg, coeffs, _LAST_COST[1])
+    _LAST_COST = (cost, reps)
     return _annotate(
         {"metric": "spiral train step (hermite+dopri5 adjoint, batch 256, len 100)",
-         "value": round(1e3 * t, 3), "unit": "ms"}, t)
+         "value": round(1e3 * t, 3), "unit": "ms", **extra}, t)
 
 
 def bench_spiral_dopri_adjoint():
@@ -174,9 +224,12 @@ def bench_spiral_dopri_adjoint():
     step = make_train_step(cfg, opt)
 
     t = _scanned_train_time(step, params, opt_state, coeffs, jnp.asarray(y))
+    global _LAST_COST
+    cost, reps, extra = _dopri_probe_cost(params, cfg, coeffs, _LAST_COST[1])
+    _LAST_COST = (cost, reps)
     return _annotate(
         {"metric": "spiral train step (hermite+dopri5 adjoint, batch 4096, len 100)",
-         "value": round(1e3 * t, 3), "unit": "ms"}, t)
+         "value": round(1e3 * t, 3), "unit": "ms", **extra}, t)
 
 
 def bench_irregular():
@@ -250,12 +303,23 @@ def bench_log_ode():
     _force(outs[-1])
     t = (time.perf_counter() - t0) / reps
     global _LAST_COST
+    # logsig_windows itself refuses traced inputs (host window planning), so
+    # the denominators come from its device core: the windowed Chen reduction
+    # over the same window boundaries the wrapper derives for this grid.
+    from torchcde_tpu.ops.logsignature import windowed_logsignatures
+
+    boundaries = np.arange(0, xj.shape[-2], 100)
+    if boundaries[-1] != xj.shape[-2] - 1:
+        boundaries = np.append(boundaries, xj.shape[-2] - 1)
     _LAST_COST = (
-        roofline.cost_of(jax.jit(lambda a: tc.logsig_windows(a, 3, 100.0)), xj), 1,
+        roofline.cost_of(
+            jax.jit(lambda a: windowed_logsignatures(a, 3, boundaries)), xj
+        ), 1,
     )
     return _annotate(
         {"metric": "depth-3 logsig windows (32x10000x3, window 100)",
-         "value": round(1e3 * t, 3), "unit": "ms"}, t)
+         "value": round(1e3 * t, 3), "unit": "ms",
+         "flops_source": "device-core (windowed_logsignatures)"}, t)
 
 
 def bench_rev_heun():
@@ -361,8 +425,8 @@ BENCHES = {
 }
 
 
-def main(names, record_path=None):
-    results = []
+def main(names, record_path=None, extra_results=()):
+    results = list(extra_results)
     for name in names or list(BENCHES):
         result = BENCHES[name]()
         result["name"] = name
