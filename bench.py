@@ -157,19 +157,47 @@ def bench_tpu(coeffs_np, y_np, n_steps):
 
     cost = roofline.cost_of(step, params, opt_state, coeffs, y)
 
-    params, opt_state, loss = step(params, opt_state, coeffs, y)  # compile
-    loss0 = float(loss)  # host readback forces completion (block_until_ready
-    # does not reliably wait on the remote-tunnel backend)
-    # Steady-state throughput: chain n_steps through their data dependency
-    # (params/opt_state thread step to step) and read back once — per-step
-    # host round-trips would otherwise dominate and add +-15% noise.
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        params, opt_state, loss = step(params, opt_state, coeffs, y)
-    loss1 = float(loss)
-    elapsed = time.perf_counter() - t0
+    # Per-step device throughput via the two-length slope: time a K1-step and
+    # a K2-step training scan (real optimiser steps chained through their
+    # params/opt_state data dependency inside ONE program each) and report
+    # (T2 - T1) / (K2 - K1).  The subtraction cancels the remote tunnel's
+    # fixed per-execution cost — measured between 0.9 ms and 33 ms *per
+    # program* depending on tunnel weather — which back-to-back on-host
+    # training never sees and which a single-scan timing would smear over
+    # its iterations (at 30 ms RTT, an 8-step scan would over-report by
+    # ~4 ms/step).  Each scan ends with one scalar readback, which is what
+    # actually forces completion on this backend (block_until_ready does
+    # not reliably wait on the remote tunnel).
+    step_fn = make_train_step(cfg, optimizer)
+
+    def scan_of(k):
+        @jax.jit
+        def run(params, opt_state, coeffs, y):
+            def body(carry, _):
+                p, o = carry
+                p, o, loss = step_fn(p, o, coeffs, y)
+                return (p, o), loss
+            (_, _), losses = jax.lax.scan(
+                body, (params, opt_state), None, length=k)
+            return losses
+        return run
+
+    k1, k2 = max(2, n_steps // 6), n_steps
+    run1, run2 = scan_of(k1), scan_of(k2)
+    losses = run2(params, opt_state, coeffs, y)  # compile K2
+    loss0, loss1 = float(losses[0]), float(losses[-1])
     assert np.isfinite(loss1) and loss1 != loss0, (loss0, loss1)  # really training
-    return elapsed / n_steps, jax.devices()[0].platform, cost
+    _ = float(run1(params, opt_state, coeffs, y)[-1])  # compile K1
+    slopes = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _ = float(run1(params, opt_state, coeffs, y)[-1])
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _ = float(run2(params, opt_state, coeffs, y)[-1])
+        t2 = time.perf_counter() - t0
+        slopes.append((t2 - t1) / (k2 - k1))
+    return float(np.median(slopes)), jax.devices()[0].platform, cost
 
 
 def main(run_all=False):

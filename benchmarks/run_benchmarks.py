@@ -54,74 +54,79 @@ def _force(out):
     return float(jnp.sum(leaves[0]).astype(jnp.float32))
 
 
-def _median_time(fn, iters=5):
-    _force(fn())
-    times = []
-    for _ in range(iters):
+def _slope_time(make_run, args, k1, k2, rounds=5):
+    """Per-iteration device time via the two-length slope.
+
+    ``make_run(k)`` must return a jitted callable over ``args`` whose body
+    repeats the measured work ``k`` times inside ONE program (lax.scan).
+    Reports median (T(k2) - T(k1)) / (k2 - k1): the subtraction cancels the
+    remote tunnel's fixed per-execution cost — measured anywhere from 0.9 ms
+    to 33 ms *per program* depending on tunnel weather — which on-host
+    back-to-back execution never sees and which dividing a single scan's
+    total by its length would smear into every number."""
+    f1, f2 = make_run(k1), make_run(k2)
+    _force(f1(*args))
+    _force(f2(*args))
+    slopes = []
+    for _ in range(rounds):
         t0 = time.perf_counter()
-        _force(fn())
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times))
+        _force(f1(*args))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _force(f2(*args))
+        t2 = time.perf_counter() - t0
+        slopes.append((t2 - t1) / (k2 - k1))
+    return float(np.median(slopes))
 
 
 def _chained_time(op, x, reps=8, extras=()):
-    """Times a jitted op with a forced serial dependency between iterations
-    plus a final host readback — robust against remote-backend async
-    artifacts.  ``op`` must map (x, *extras) -> array; pass large side inputs
-    through ``extras`` so they stay jit *arguments* (closed-over device arrays
-    are serialised as program constants by the remote-compile tunnel)."""
+    """Per-iteration time of a jitted op with a forced serial dependency
+    between iterations, slope-timed (see ``_slope_time``).  ``op`` must map
+    (x, *extras) -> array; pass large side inputs through ``extras`` so they
+    stay jit *arguments* (closed-over device arrays are serialised as
+    program constants by the remote-compile tunnel).  ``reps`` sets the
+    longer scan length."""
     import jax
     import jax.numpy as jnp
 
-    def chained(x0, *extras_):
-        def body(carry, _):
-            y = op(carry, *extras_)
-            bump = jnp.sum(y) * jnp.asarray(1e-20, x0.dtype)
-            return x0 + bump.astype(x0.dtype), None
+    def make_run(k):
+        def chained(x0, *extras_):
+            def body(carry, _):
+                y = op(carry, *extras_)
+                bump = jnp.sum(y) * jnp.asarray(1e-20, x0.dtype)
+                return x0 + bump.astype(x0.dtype), None
 
-        final, _ = jax.lax.scan(body, x0, None, length=reps)
-        return final
+            final, _ = jax.lax.scan(body, x0, None, length=k)
+            return final
 
-    g = jax.jit(chained)
+        return jax.jit(chained)
+
+    k1, k2 = reps, 5 * reps
     global _LAST_COST
-    _LAST_COST = (roofline.cost_of(g, x, *extras), reps)
-    _force(g(x, *extras))
-    # Median of 3 rounds: the remote tunnel occasionally injects a multi-x
-    # latency spike into a single round, which a one-shot sweep would record.
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _force(g(x, *extras))
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times)) / reps
+    _LAST_COST = (roofline.cost_of(make_run(1), x, *extras), 1)
+    return _slope_time(make_run, (x,) + tuple(extras), k1, k2)
 
 
 def _scanned_train_time(step, params, opt_state, coeffs, y, reps=8):
-    """Steady-state ms/step: ``reps`` optimiser steps chained inside ONE
-    jitted lax.scan (the real training pattern), ended with a host readback.
-    Single-dispatch timings over the remote tunnel carry ~30 ms of launch
-    latency that back-to-back training never sees."""
+    """Steady-state ms/step: optimiser steps chained inside ONE jitted
+    lax.scan (the real training pattern), slope-timed between a ``reps``-
+    and a ``5*reps``-step scan (see ``_slope_time`` for why the slope)."""
     import jax
-    import jax.numpy as jnp
 
-    def run(params, opt_state, coeffs, y):
-        def body(carry, _):
-            p, o = carry
-            p, o, loss = step(p, o, coeffs, y)
-            return (p, o), loss
-        (_, _), losses = jax.lax.scan(body, (params, opt_state), None, length=reps)
-        return losses[-1]
+    def make_run(k):
+        def run(params, opt_state, coeffs, y):
+            def body(carry, _):
+                p, o = carry
+                p, o, loss = step(p, o, coeffs, y)
+                return (p, o), loss
+            (_, _), losses = jax.lax.scan(
+                body, (params, opt_state), None, length=k)
+            return losses[-1]
+        return jax.jit(run)
 
-    g = jax.jit(run)
     global _LAST_COST
-    _LAST_COST = (roofline.cost_of(g, params, opt_state, coeffs, y), reps)
-    _force(g(params, opt_state, coeffs, y))
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _force(g(params, opt_state, coeffs, y))
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times)) / reps
+    _LAST_COST = (roofline.cost_of(make_run(1), params, opt_state, coeffs, y), 1)
+    return _slope_time(make_run, (params, opt_state, coeffs, y), reps, 5 * reps)
 
 
 def _dopri_probe_cost(params, cfg, coeffs, reps):
@@ -290,31 +295,18 @@ def bench_log_ode():
 
     import jax
 
-    def run():
-        return tc.logsig_windows(xj, 3, 100.0)
-
-    # Steady-state throughput: back-to-back calls (the "preprocess a dataset
-    # in batches" pattern) with one final sync, so the remote-tunnel's ~28 ms
-    # per-sync round trip is amortised rather than billed to every call.
-    _force(run())
-    reps = 8
-    t0 = time.perf_counter()
-    outs = [run() for _ in range(reps)]
-    _force(outs[-1])
-    t = (time.perf_counter() - t0) / reps
-    global _LAST_COST
     # logsig_windows itself refuses traced inputs (host window planning), so
-    # the denominators come from its device core: the windowed Chen reduction
-    # over the same window boundaries the wrapper derives for this grid.
+    # both the timing and the denominators use its device core — the windowed
+    # Chen reduction over the same window boundaries the wrapper derives for
+    # this grid — which CAN be scanned for slope timing (see _slope_time).
     from torchcde_tpu.ops.logsignature import windowed_logsignatures
 
     boundaries = np.arange(0, xj.shape[-2], 100)
     if boundaries[-1] != xj.shape[-2] - 1:
         boundaries = np.append(boundaries, xj.shape[-2] - 1)
-    _LAST_COST = (
-        roofline.cost_of(
-            jax.jit(lambda a: windowed_logsignatures(a, 3, boundaries)), xj
-        ), 1,
+
+    t = _chained_time(
+        jax.jit(lambda a: windowed_logsignatures(a, 3, boundaries)), xj, reps=4
     )
     return _annotate(
         {"metric": "depth-3 logsig windows (32x10000x3, window 100)",
