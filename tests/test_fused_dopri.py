@@ -321,3 +321,31 @@ def test_declines_explicit_max_steps_beyond_store(forced_interpret):
     cfg = SolverConfig(method="dopri5", rtol=1e-3, atol=1e-5,
                        max_steps=_STORE_CAP + 1)
     assert try_fused_dopri5(X, fl, z0, np.asarray([0.0, 5.0]), cfg) is None
+
+
+def test_bfloat16_operands_route_fused(forced_interpret):
+    # bf16 controls/weights take the fused adaptive kernel too (the packer's
+    # shared dtype policy upcasts at the boundary, the controller runs in
+    # f32, and the output comes back bf16) and stay close to the f32 solve
+    # of the same quantized problem.
+    C, L, B, H, W = 2, 5, 3, 3, 8
+    x, z0, w1, b1, w2, b2 = _setup(B, L, C, H, W)
+    bf = jnp.bfloat16
+    co = torchcde_tpu.hermite_cubic_coefficients_with_backward_differences(x)
+    t = np.asarray([0.0, float(L - 1)])
+
+    def run(dtype):
+        X = CubicSpline(co.astype(dtype))
+        fl = MLPVectorField(w1.astype(dtype), b1.astype(dtype),
+                            w2.astype(dtype), b2.astype(dtype), H, C)
+        return torchcde_tpu.cdeint(X=X, func=fl, z0=z0.astype(dtype), t=t,
+                                   adjoint=False, method="dopri5",
+                                   rtol=1e-3, atol=1e-4)
+
+    out16 = run(bf)
+    assert out16.dtype == bf
+    # f32 on the bf16-quantized inputs: same fused program modulo the casts.
+    out32 = run(jnp.float32)  # (inputs were f32 already; quantization noise
+    # between the two runs is bounded by the bf16 input rounding)
+    np.testing.assert_allclose(np.asarray(out16, np.float32),
+                               np.asarray(out32), rtol=0.06, atol=0.06)

@@ -259,3 +259,90 @@ def test_non_multiple_large_batch_pads_to_full_tiles(forced_interpret):
     ref = _solve(args, coeffs, C, H, t, "euler", 1.0, False)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_bfloat16_operands_route_fused_and_match(forced_interpret):
+    # bf16 models get the fused kernel too: the packer upcasts bf16 operands
+    # to f32 at the boundary (the shared streaming-kernel dtype policy,
+    # ops/pallas_dispatch.py), the solve runs in f32, and results/cotangents
+    # come back bf16.  Mirrors the bf16 end-to-end contract test for the XLA
+    # path (tests/test_cdeint.py).
+    C, L, B, H, W = 3, 6, 4, 4, 16
+    coeffs, args = _setup(B, L, C, H, W)
+    bf = jnp.bfloat16
+    coeffs16 = coeffs.astype(bf)
+    args16 = tuple(a.astype(bf) for a in args)
+    X16 = CubicSpline(coeffs16)
+    t = X16.interval
+
+    field = MLPVectorField(args16[1], args16[2], args16[3], args16[4], H, C)
+    p = fused_pallas._pack_operands(
+        X16._b, X16._two_c, X16._three_d, args16[0], field, L - 1)
+    assert p is not None and p.out_dtype == bf
+    assert p.ct2.dtype == jnp.float32  # solves in f32 internally
+
+    def loss(a, cf, use):
+        out = _solve(a, cf, C, H, t, "rk4", 1.0, use)
+        assert out.dtype == bf
+        return jnp.sum(jnp.sin(out.astype(jnp.float32))), out
+
+    (_, out_ref), _ = jax.value_and_grad(
+        loss, argnums=(0, 1), has_aux=True)(args16, coeffs16, False)
+    (_, out_fp), (g_fp, gc_fp) = jax.value_and_grad(
+        loss, argnums=(0, 1), has_aux=True)(args16, coeffs16, True)
+
+    # Cross-path forward check: the XLA path carries the state in bf16 while
+    # the kernel accumulates in f32, so agreement is to bf16 resolution.
+    np.testing.assert_allclose(
+        np.asarray(out_fp, np.float32), np.asarray(out_ref, np.float32),
+        rtol=0.06, atol=0.06)
+
+    # Gradient check against the f32 fused solve on the SAME (already
+    # bf16-quantized) inputs: the packer upcast makes the two solves
+    # bit-identical f32 programs, so grads differ only by the bf16 boundary
+    # casts.  (Comparing against the bf16 XLA path instead would be unstable:
+    # its bf16-carried state lands on different sides of relu kinks.)
+    def loss32(a, cf):
+        out = _solve(a, cf, C, H, t, "rk4", 1.0, True)
+        return jnp.sum(jnp.sin(out.astype(jnp.float32)))
+
+    args32 = tuple(a.astype(jnp.float32) for a in args16)
+    g32, gc32 = jax.grad(loss32, argnums=(0, 1))(
+        args32, coeffs16.astype(jnp.float32))
+    for ga, gb in zip(jax.tree_util.tree_leaves((g_fp, gc_fp)),
+                      jax.tree_util.tree_leaves((g32, gc32))):
+        assert ga.dtype == bf
+        np.testing.assert_allclose(
+            np.asarray(ga, np.float32), np.asarray(gb, np.float32),
+            rtol=0.02, atol=0.02)
+
+
+def test_mixed_dtype_operands_decline(forced_interpret):
+    # bf16 coefficients against f32 weights: the packer declines (the XLA
+    # path's promotion semantics are the contract there) instead of silently
+    # casting one side.
+    C, L, B, H, W = 3, 6, 2, 4, 16
+    coeffs, args = _setup(B, L, C, H, W)
+    X16 = CubicSpline(coeffs.astype(jnp.bfloat16))
+    field = MLPVectorField(args[1], args[2], args[3], args[4], H, C)
+    p = fused_pallas._pack_operands(
+        X16._b, X16._two_c, X16._three_d, args[0], field, L - 1)
+    assert p is None
+
+
+def test_bfloat16_reversible_heun_routes_fused(forced_interpret):
+    C, L, B, H, W = 3, 6, 2, 3, 8
+    coeffs, args = _setup(B, L, C, H, W)
+    bf = jnp.bfloat16
+    t = CubicSpline(coeffs).interval
+
+    def run(dtype):
+        a = tuple(x.astype(dtype) for x in args)
+        return _solve(a, coeffs.astype(dtype), C, H, t,
+                      "reversible_heun", 1.0, True)
+
+    out16 = run(bf)
+    assert out16.dtype == bf
+    np.testing.assert_allclose(np.asarray(out16, np.float32),
+                               np.asarray(run(jnp.float32)),
+                               rtol=0.06, atol=0.06)

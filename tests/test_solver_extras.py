@@ -261,3 +261,58 @@ def test_jump_t_ignored_on_fixed_step_warns():
         _warnings.simplefilter("error")
         torchcde_tpu.cdeint(X, f, z0, X.interval, adjoint=False, method="dopri5",
                             options=dict(jump_t=jumps))
+
+
+def test_adaptive_budget_derived_from_knots(monkeypatch):
+    # With differentiable=True every budgeted iteration executes and is
+    # checkpointed, so the default adaptive budget is sized from the
+    # control's knot count (integrate.py) instead of the flat 4096 — and the
+    # truncated loop must not change the answer.
+    import torchcde_tpu.solvers.integrate as integrate_mod
+
+    captured = []
+    orig = integrate_mod._integrate_adaptive_dense
+
+    def spy(rhs, z0, ts, dt0, state0, cfg, stepper, max_steps, jump_t,
+            differentiable):
+        captured.append((max_steps, differentiable))
+        return orig(rhs, z0, ts, dt0, state0, cfg, stepper, max_steps, jump_t,
+                    differentiable)
+
+    monkeypatch.setattr(integrate_mod, "_integrate_adaptive_dense", spy)
+
+    x = jnp.asarray(rng.standard_normal((2, 100, 2)))
+    X = torchcde_tpu.CubicSpline(
+        torchcde_tpu.hermite_cubic_coefficients_with_backward_differences(x)
+    )
+    f = lambda t, z: jnp.tanh(z)[..., None] * jnp.asarray([[0.1, -0.05]])
+    z0 = jnp.asarray(rng.random((2, 2)))
+
+    def run(**kw):
+        return torchcde_tpu.cdeint(X, f, z0, X.interval, adjoint=False,
+                                   method="dopri5", **kw)
+
+    out = jax.jit(run)()  # differentiable grad-ready path
+    (m_diff, was_diff), = captured
+    assert was_diff
+    # 100 knots at the default tolerances: 4 steps/knot, far below 4096.
+    assert m_diff == 400
+    captured.clear()
+
+    # Tighter tolerances widen the derived budget.
+    run(rtol=1e-6, atol=1e-8)
+    (m_tight, _), = captured
+    assert 400 < m_tight <= 4096
+    captured.clear()
+
+    # Explicit max_steps always wins.
+    run(max_steps=77)
+    (m_explicit, _), = captured
+    assert m_explicit == 77
+    captured.clear()
+
+    # And the derived budget doesn't truncate the solve: same answer as the
+    # flat-budget loop.
+    ref = run(max_steps=4096)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-8)

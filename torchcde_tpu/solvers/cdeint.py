@@ -225,8 +225,21 @@ def cdeint(X, func, z0, t, adjoint=True, backend="native", **kwargs):
     z0 = _as_tuple_state(z0)
     _check_compatability(X, func, z0, t)
 
+    # The control's knot count sizes the default adaptive step budget
+    # (integrate.py): adaptive CDE solves track the control's knots, so the
+    # differentiable path can compile a loop near the realised step count
+    # instead of the flat worst-case budget.
+    knots_hint = None
+    grid = getattr(X, "grid_points", None)
+    if grid is not None:
+        try:
+            knots_hint = int(np.shape(grid)[-1])
+        except (TypeError, IndexError):
+            knots_hint = None
+
     cfg = SolverConfig(
-        method=method, rtol=rtol, atol=atol, step_size=step_size, max_steps=max_steps
+        method=method, rtol=rtol, atol=atol, step_size=step_size,
+        max_steps=max_steps, knots_hint=knots_hint,
     )
 
     rhs = make_cde_rhs(func, X)
@@ -316,6 +329,7 @@ def cdeint(X, func, z0, t, adjoint=True, backend="native", **kwargs):
             atol=adjoint_atol,
             step_size=adjoint_step_size,
             max_steps=adjoint_max_steps,
+            knots_hint=knots_hint,
         )
         rhs_conv, consts = jax.closure_convert(rhs, t[0], z0)
         consts = list(consts)

@@ -493,8 +493,9 @@ def try_fused_dopri5(X, func, z0, ts, cfg):
     """Attempt the fused adaptive dopri5 solve.
 
     Requires: MLPVectorField over a CubicSpline with a concrete uniform knot
-    grid, concrete output times, f32, no step_size (tolerance-controlled),
-    single device.  Batches larger than MAX_TILE lanes run as independent
+    grid, concrete output times, f32 or bf16 (bf16 solves in f32 internally,
+    the shared _pack_operands dtype policy), no step_size
+    (tolerance-controlled), single device.  Batches larger than MAX_TILE lanes run as independent
     per-group solves and coefficient tables larger than MAX_INTERVALS stream
     as carried chunks (see module docstring for the controller semantics).
     Returns the time-leading solution at ``ts`` or None.
@@ -625,4 +626,5 @@ def try_fused_dopri5(X, func, z0, ts, cfg):
         group_outs.append(stacked[:, :H, :p.B])
 
     out = jnp.concatenate(group_outs, axis=-1)  # (n_out, H, B)
-    return jnp.moveaxis(out, 1, -1).reshape((n_out_total,) + batch_shape + (H,))
+    out = jnp.moveaxis(out, 1, -1).reshape((n_out_total,) + batch_shape + (H,))
+    return out.astype(p_full.out_dtype)

@@ -144,6 +144,10 @@ def _fwd_kernel(ct_ref, z0_ref, w1_ref, b1_ref, w2_ref, b2_ref, zout_ref, zscr,
     zout_ref[:, :] = z
 
 
+def _dg(a, b, dims):
+    return jax.lax.dot_general(a, b, dims, preferred_element_type=jnp.float32)
+
+
 def _stage_backward(u, y, fr, h1, g, dx, w1t, w2t, rep, sel, C):
     """VJP of one vector-field evaluation.  u: cotangent of k, (Hp, tile).
 
@@ -154,22 +158,14 @@ def _stage_backward(u, y, fr, h1, g, dx, w1t, w2t, rep, sel, C):
     ddx = _dot(rep.T, urep * g)
     dpre2 = dg * (1.0 - g * g)
     # dw2t (CHp, W) = dpre2 (CHp, tile) . h1 (W, tile) contracted over tile.
-    dw2t = jax.lax.dot_general(
-        dpre2, h1, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    dw2t = _dg(dpre2, h1, (((1,), (1,)), ((), ())))
     db2 = jnp.sum(dpre2, axis=1, keepdims=True)
     # dh1 (W, tile) = w2t^T @ dpre2, contracted over CHp.
-    dh1 = jax.lax.dot_general(
-        w2t, dpre2, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    dh1 = _dg(w2t, dpre2, (((0,), (0,)), ((), ())))
     dpre1 = dh1 * (h1 > 0.0).astype(h1.dtype)
-    dw1t = jax.lax.dot_general(
-        dpre1, y, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    dw1t = _dg(dpre1, y, (((1,), (1,)), ((), ())))
     db1 = jnp.sum(dpre1, axis=1, keepdims=True)
-    dy = jax.lax.dot_general(
-        w1t, dpre1, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    dy = _dg(w1t, dpre1, (((0,), (0,)), ((), ())))
     return dy, dw1t, db1, dw2t, db2, ddx
 
 
@@ -419,7 +415,7 @@ class _Packed:
 
     __slots__ = ("ct2", "z0t", "w1t", "b1c", "w2t", "b2c", "z0f", "batch",
                  "B", "Bp", "tile", "n_tiles", "tile_fwd", "n_tiles_fwd",
-                 "C", "H", "W", "Hp", "CHp")
+                 "C", "H", "W", "Hp", "CHp", "out_dtype")
 
 
 def _pack_operands(b_rows, c_rows, d_rows, z0, field, n, single_tile=None):
@@ -439,12 +435,28 @@ def _pack_operands(b_rows, c_rows, d_rows, z0, field, n, single_tile=None):
     if W > MAX_WIDTH or C * H > MAX_CONTRACT or 3 * C > _SLAB:
         return None
     arrays = (b_rows, c_rows, d_rows, z0, w1, b1, w2, b2)
-    if any(a.dtype != jnp.float32 for a in arrays):
+    # Same dtype policy as the streaming kernels (ops/pallas_dispatch.py):
+    # f32 and bf16 are eligible; bf16 enters the kernels as f32 — the solve's
+    # carried state accumulation needs f32 — and the drivers cast results
+    # back.  The casts live in this differentiable packing, so bf16 weight /
+    # coefficient cotangents fall out of autodiff (a cast's transpose is the
+    # cast back).  Mixed dtypes decline: the XLA path's promotion semantics
+    # are the contract there.
+    if any(a.dtype != arrays[0].dtype for a in arrays):
+        return None
+    if arrays[0].dtype == jnp.bfloat16:
+        b_rows, c_rows, d_rows, z0, w1, b1, w2, b2 = (
+            a.astype(jnp.float32) for a in arrays)
+        out_dtype = jnp.bfloat16
+    elif arrays[0].dtype == jnp.float32:
+        out_dtype = jnp.float32
+    else:
         return None
     batch = jnp.broadcast_shapes(b_rows.shape[:-2], z0.shape[:-1])
     B = int(np.prod(batch, dtype=np.int64)) if batch else 1
 
     p = _Packed()
+    p.out_dtype = out_dtype
     p.batch, p.B, p.C, p.H, p.W = batch, B, C, H, W
     p.Hp = _round_up(H, 8)
     p.CHp = _round_up(C * H, 8)
@@ -516,7 +528,7 @@ def try_fused_mlp_pallas(rows, z0, field, method, m, dt_sub, n):
     knots = zout.reshape(n, p.Hp, p.Bp)[:, :p.H, :p.B]
     knots = jnp.moveaxis(knots, 1, -1).reshape((n,) + p.batch + (p.H,))
     z0b = jnp.broadcast_to(p.z0f.reshape(p.batch + (p.H,)), p.batch + (p.H,))
-    return jnp.concatenate([z0b[None], knots], axis=0)
+    return jnp.concatenate([z0b[None], knots], axis=0).astype(p.out_dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -744,8 +756,8 @@ def try_fused_reversible_heun(X, func, z0, ts, step_size):
     """Fused-kernel reversible-Heun solve with its exact O(1)-memory adjoint.
 
     Same applicability rules as try_fused_mlp_pallas (cubic control, uniform
-    knot spacing, dividing step, MLP field, f32, single device).  Returns the
-    time-leading solution at ``ts`` or None.
+    knot spacing, dividing step, MLP field, f32 or bf16, single device).
+    Returns the time-leading solution at ``ts`` or None.
     """
     from .fused_fixed import plan_fixed_grid
     from .terms import MLPVectorField
@@ -775,5 +787,5 @@ def try_fused_reversible_heun(X, func, z0, ts, step_size):
     knots = zout.reshape(n, p.Hp, p.Bp)[:, :p.H, :p.B]
     knots = jnp.moveaxis(knots, 1, -1).reshape((n,) + p.batch + (p.H,))
     z0b = jnp.broadcast_to(p.z0f.reshape(p.batch + (p.H,)), p.batch + (p.H,))
-    all_knots = jnp.concatenate([z0b[None], knots], axis=0)
+    all_knots = jnp.concatenate([z0b[None], knots], axis=0).astype(p.out_dtype)
     return jnp.take(all_knots, jnp.asarray(out_idx - j0), axis=0)

@@ -54,6 +54,10 @@ class SolverConfig:
     safety: float = 0.9
     ifactor: float = 10.0
     dfactor: float = 0.2
+    # Knot count of the control being integrated, when the caller knows it
+    # (cdeint sets it from X.grid_points).  Used only to size the DEFAULT
+    # adaptive step budget — an explicit ``max_steps`` always wins.
+    knots_hint: Optional[int] = None
 
     def stepper(self):
         if self.method not in STEPPERS:
@@ -359,11 +363,34 @@ def odeint(rhs, z0, ts, cfg: SolverConfig, jump_t=None, differentiable=True,
         init_nfe += 2  # initial-step-size heuristic
         # Low-order adaptive methods take ~tol^(-1/(order+1)) steps — a flat
         # budget sized for dopri5 silently truncates them.  The budget is
-        # cheap to over-provision: bounded_while_loop skips exhausted chunks
-        # with one scalar branch each (loops.py), and the plain while loop
-        # stops at the realised count anyway.
+        # cheap to over-provision in the plain while loop (stops at the
+        # realised count), but with ``differentiable=True`` every budgeted
+        # iteration is executed and checkpointed, so the default is derived
+        # from the problem when the knot count is known: adaptive CDE solves
+        # track the control's knots (~1.5 attempted steps/knot at the default
+        # tolerances rtol=1e-4/atol=1e-6), and step counts grow like
+        # tol^(-1/(order+1)) as tolerances tighten below the defaults.
+        # 4 steps/knot x the tolerance factor keeps ~2.5x headroom while
+        # compiling a loop near the realised step count instead of a flat
+        # 4096.  The heuristic is calibrated on the high-order methods
+        # (dopri5/dopri8); low-order steppers' counts blow up much faster
+        # with tolerance, so they keep the flat (order-scaled) budget.  An
+        # explicit max_steps always wins, and the derived default never
+        # exceeds the flat one.
         order_scale = 8 if stepper.order < 3 else 1
-        max_steps = cfg.max_steps or (_ADAPTIVE_DEFAULT_MAX_STEPS * order_scale)
+        default_steps = _ADAPTIVE_DEFAULT_MAX_STEPS
+        if (differentiable and stepper.order >= 4
+                and cfg.max_steps is None and cfg.knots_hint is not None):
+            inv_order = 1.0 / (stepper.order + 1)
+            tol_scale = max(
+                1.0,
+                (1e-4 / max(cfg.rtol, 1e-30)) ** inv_order,
+                (1e-6 / max(cfg.atol, 1e-30)) ** inv_order,
+            )
+            default_steps = int(
+                min(default_steps, max(256, 4 * cfg.knots_hint * tol_scale))
+            )
+        max_steps = cfg.max_steps or (default_steps * order_scale)
 
         if stepper.step_dense is not None:
             # Continuous solve + dense output: NFE independent of len(ts).
