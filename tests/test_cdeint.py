@@ -77,6 +77,21 @@ def test_backend():
     )
     assert np.allclose(np.asarray(out_d), np.asarray(out_s))
 
+    # Both aliases dispatch to the same native stepper, so the API check
+    # above cannot fail on numerics.  The real cross-solver equivalence
+    # contract (the reference compared two genuinely different libraries):
+    # two different discretisations must converge to the same solution.
+    out_rk4 = torchcde_tpu.cdeint(
+        X=X, func=func, z0=z0, t=X.interval, method="rk4",
+        options=dict(step_size=0.01), adjoint=False,
+    )
+    out_dopri = torchcde_tpu.cdeint(
+        X=X, func=func, z0=z0, t=X.interval, method="dopri5",
+        rtol=1e-8, atol=1e-10, adjoint=False,
+    )
+    np.testing.assert_allclose(np.asarray(out_rk4), np.asarray(out_dopri),
+                               rtol=1e-5, atol=1e-7)
+
 
 def test_tuple_input():
     xa = jnp.asarray(rng.random((2, 10, 2)))

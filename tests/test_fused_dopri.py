@@ -62,11 +62,13 @@ def _loss_fn(C, H, t, rtol, atol, adjoint=False):
     return loss
 
 
-def test_gradients_match_differentiable_replay_of_realised_mesh(forced_interpret):
+@pytest.mark.parametrize("H", [3, 8])  # H=8: matrix-free VPU selection path
+def test_gradients_match_differentiable_replay_of_realised_mesh(
+        forced_interpret, H):
     """THE backward-correctness test: extract the kernel's accepted (t, dt)
     mesh, replay those exact steps (and the dense-output quartic) as plain
     differentiable jnp, and require exact gradient agreement."""
-    B, L, C, H, W = 3, 6, 2, 3, 8
+    B, L, C, W = 3, 6, 2, 8
     args = _setup(B, L, C, H, W, seed=1, scale=0.08)
     x, z0, w1, b1, w2, b2 = args
     ts = np.asarray([0.0, 5.0])

@@ -210,12 +210,13 @@ def test_adjoint_routes_to_fused_kernel_and_matches_backsolve(forced_interpret):
 
 
 @pytest.mark.parametrize("adjoint", [True, False])
-def test_fused_reversible_heun_matches_xla_path(forced_interpret, adjoint):
+@pytest.mark.parametrize("H", [4, 8])  # H=8: matrix-free VPU selection path
+def test_fused_reversible_heun_matches_xla_path(forced_interpret, adjoint, H):
     """Fused reversible-Heun (both adjoint modes) vs the XLA reversible /
     direct paths.  Gradients are taken w.r.t. the raw data x (through the
     Hermite construction), z0 and the MLP parameters — quantities identical
     under either C1-equivalent knot-evaluation routing."""
-    C, H, W, B, L = 3, 4, 16, 3, 7
+    C, W, B, L = 3, 16, 3, 7
     r = np.random.default_rng(2)
     x = jnp.asarray(r.standard_normal((B, L, C)).astype(np.float32))
     w1 = jnp.asarray(r.standard_normal((H, W)) * 0.2, jnp.float32)
@@ -298,10 +299,11 @@ def test_bfloat16_operands_route_fused_and_match(forced_interpret):
         rtol=0.06, atol=0.06)
 
     # Gradient check against the f32 fused solve on the SAME (already
-    # bf16-quantized) inputs: the packer upcast makes the two solves
-    # bit-identical f32 programs, so grads differ only by the bf16 boundary
-    # casts.  (Comparing against the bf16 XLA path instead would be unstable:
-    # its bf16-carried state lands on different sides of relu kinks.)
+    # bf16-quantized) inputs.  The bf16 solve feeds the MXU bf16 operands
+    # (f32 accumulation), so the two programs differ by per-stage bf16
+    # rounding — which can flip relu kinks and make individual entries
+    # diverge.  The contract is therefore a relative-norm one: each
+    # gradient leaf agrees to a few percent in Frobenius norm.
     def loss32(a, cf):
         out = _solve(a, cf, C, H, t, "rk4", 1.0, True)
         return jnp.sum(jnp.sin(out.astype(jnp.float32)))
@@ -312,9 +314,11 @@ def test_bfloat16_operands_route_fused_and_match(forced_interpret):
     for ga, gb in zip(jax.tree_util.tree_leaves((g_fp, gc_fp)),
                       jax.tree_util.tree_leaves((g32, gc32))):
         assert ga.dtype == bf
-        np.testing.assert_allclose(
-            np.asarray(ga, np.float32), np.asarray(gb, np.float32),
-            rtol=0.02, atol=0.02)
+        a32 = np.asarray(ga, np.float32).ravel()
+        b32 = np.asarray(gb, np.float32).ravel()
+        denom = max(float(np.linalg.norm(b32)), 1e-6)
+        assert float(np.linalg.norm(a32 - b32)) / denom < 0.05, (
+            np.abs(a32 - b32).max(), denom)
 
 
 def test_mixed_dtype_operands_decline(forced_interpret):

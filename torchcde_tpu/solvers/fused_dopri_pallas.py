@@ -126,7 +126,9 @@ def _dopri_fwd_kernel(ct_ref, z0_ref, w1_ref, b1_ref, w2_ref, b2_ref, dt0_ref,
     CHp = w2_ref.shape[0]
     Hp = z0_ref.shape[0]
     tile = z0_ref.shape[1]
-    rep, sel = _selection_matrices(C, H, CHp, jnp.float32)
+    rep = sel = None
+    if H % 8:
+        rep, sel = _selection_matrices(C, H, CHp, jnp.float32)
     w1t, b1 = w1_ref[:, :], b1_ref[:, :]
     w2t, b2 = w2_ref[:, :], b2_ref[:, :]
     n_out = len(out_ts)
@@ -139,7 +141,7 @@ def _dopri_fwd_kernel(ct_ref, z0_ref, w1_ref, b1_ref, w2_ref, b2_ref, dt0_ref,
     def f_eval(y, tval):
         slab, fr, _j = _slab_at(ct_ref, tval, t0g, w, n)
         k, _h1, _g, _dx = _stage_forward(y, fr, slab, w1t, b1, w2t, b2,
-                                         rep, sel, C)
+                                         rep, sel, C, H)
         return k
 
     z0 = z0_ref[:, :]
@@ -246,7 +248,9 @@ def _dopri_bwd_kernel(ct_ref, zst_ref, tst_ref, dtst_ref, cnt_ref, gz_ref,
     CHp = w2_ref.shape[0]
     Hp = dz0_ref.shape[0]
     tile = dz0_ref.shape[1]
-    rep, sel = _selection_matrices(C, H, CHp, jnp.float32)
+    rep = sel = None
+    if H % 8:
+        rep, sel = _selection_matrices(C, H, CHp, jnp.float32)
     w1t, b1 = w1_ref[:, :], b1_ref[:, :]
     w2t, b2 = w2_ref[:, :], b2_ref[:, :]
     n_out = len(out_ts)
@@ -266,13 +270,13 @@ def _dopri_bwd_kernel(ct_ref, zst_ref, tst_ref, dtst_ref, cnt_ref, gz_ref,
     def stage_eval(y, tval):
         slab, fr, j = _slab_at(ct_ref, tval, t0g, w, n)
         k, h1, g, dx = _stage_forward(y, fr, slab, w1t, b1, w2t, b2,
-                                      rep, sel, C)
+                                      rep, sel, C, H)
         return k, (y, tval, fr, j, h1, g, dx)
 
     def stage_vjp(u, saved):
         y, _tval, fr, j, h1, g, dx = saved
         dy, dw1t, db1_, dw2t, db2_, ddx = _stage_backward(
-            u, y, fr, h1, g, dx, w1t, w2t, rep, sel, C)
+            u, y, fr, h1, g, dx, w1t, w2t, rep, sel, C, H)
         dw1_ref[:, :] += dw1t
         db1_ref[:, :] += db1_
         dw2_ref[:, :] += dw2t

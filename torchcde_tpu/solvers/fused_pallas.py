@@ -93,21 +93,63 @@ def _selection_matrices(C, H, CHp, dtype):
     return rep, sel
 
 
-def _dot(a, b):
-    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+def _rep_rows(x, C, H):
+    """(C, T) -> (C*H, T): rows i*H..(i+1)*H = x[i] — the matrix-free form
+    of ``REP @ x`` as C sublane broadcasts (no MXU dot).  Requires H % 8 == 0
+    so every block is whole sublane tiles."""
+    return jnp.concatenate(
+        [jnp.broadcast_to(x[i:i + 1], (H,) + x.shape[1:]) for i in range(C)],
+        axis=0)
 
 
-def _stage_forward(y, fr, slab, w1t, b1, w2t, b2, rep, sel, C):
-    """One vector-field evaluation in lane layout.  y: (Hp, tile)."""
+def _sel_sum(x, C, H):
+    """(C*H, T) -> (H, T): out[h] = sum_i x[i*H + h] — ``SEL @ x`` as C-1
+    sublane-aligned adds."""
+    acc = x[0:H]
+    for i in range(1, C):
+        acc = acc + x[i * H:(i + 1) * H]
+    return acc
+
+
+def _chan_sum(x, C, H):
+    """(C*H, T) -> (C, T): out[i] = sum_h x[i*H + h] — ``REP.T @ x`` as C
+    sublane reductions."""
+    return jnp.concatenate(
+        [jnp.sum(x[i * H:(i + 1) * H], axis=0, keepdims=True)
+         for i in range(C)], axis=0)
+
+
+def _dot(a, b, mx=jnp.float32):
+    """MXU matmul with f32 accumulation; ``mx`` is the operand dtype fed to
+    the systolic array.  bf16 operands take the MXU's native rate (f32
+    matmuls decompose into multiple bf16 passes on v5e); the f32
+    accumulation keeps the serial solve's carried state exact."""
+    return jnp.dot(a.astype(mx), b.astype(mx),
+                   preferred_element_type=jnp.float32)
+
+
+def _stage_forward(y, fr, slab, w1t, b1, w2t, b2, rep, sel, C, H,
+                   mx=jnp.float32):
+    """One vector-field evaluation in lane layout.  y: (Hp, tile).
+
+    ``rep``/``sel`` None means the matrix-free selection path: when
+    H % 8 == 0 the REP/SEL products are sublane broadcasts/adds on the VPU
+    instead of MXU dots — the kernel's runtime scales with its *count* of
+    serial small matmuls (measured: bf16 operands change nothing, so the
+    MXU ops are latency- not throughput-bound), and this removes 2 of the
+    4 per-stage dots."""
     dx = slab[0:C] + (slab[C : 2 * C] + slab[2 * C : 3 * C] * fr) * fr
-    h1 = jnp.maximum(_dot(w1t, y) + b1, 0.0)
-    g = jnp.tanh(_dot(w2t, h1) + b2)
-    k = _dot(sel, g * _dot(rep, dx))
+    h1 = jnp.maximum(_dot(w1t, y, mx) + b1, 0.0)
+    g = jnp.tanh(_dot(w2t, h1, mx) + b2)
+    if rep is None:
+        k = _sel_sum(g * _rep_rows(dx, C, H), C, H)
+    else:
+        k = _dot(sel, g * _dot(rep, dx, mx), mx)
     return k, h1, g, dx
 
 
 def _fwd_kernel(ct_ref, z0_ref, w1_ref, b1_ref, w2_ref, b2_ref, zout_ref, zscr,
-                *, tableau, m, dt_sub, C, H):
+                *, tableau, m, dt_sub, C, H, mx=jnp.float32):
     alpha, beta, c_sol = tableau
     stage_times = (0.0,) + tuple(alpha)
     n_stages = len(c_sol)
@@ -118,7 +160,9 @@ def _fwd_kernel(ct_ref, z0_ref, w1_ref, b1_ref, w2_ref, b2_ref, zout_ref, zscr,
         zscr[:, :] = z0_ref[:, :]
 
     CHp = w2_ref.shape[0]
-    rep, sel = _selection_matrices(C, H, CHp, jnp.float32)
+    rep = sel = None
+    if H % 8:  # padded layout: selection products stay MXU dots
+        rep, sel = _selection_matrices(C, H, CHp, jnp.float32)
     w1t, b1 = w1_ref[:, :], b1_ref[:, :]
     w2t, b2 = w2_ref[:, :], b2_ref[:, :]
     slab = ct_ref[:, :]
@@ -134,7 +178,8 @@ def _fwd_kernel(ct_ref, z0_ref, w1_ref, b1_ref, w2_ref, b2_ref, zout_ref, zscr,
                     if coef != 0.0:
                         y = y + (dt_sub * coef) * ks[q]
             fr = base + stage_times[stg] * dt_sub
-            k, _h1, _g, _dx = _stage_forward(y, fr, slab, w1t, b1, w2t, b2, rep, sel, C)
+            k, _h1, _g, _dx = _stage_forward(y, fr, slab, w1t, b1, w2t, b2,
+                                             rep, sel, C, H, mx)
             ks.append(k)
         for q, coef in enumerate(c_sol):
             if coef != 0.0:
@@ -144,35 +189,43 @@ def _fwd_kernel(ct_ref, z0_ref, w1_ref, b1_ref, w2_ref, b2_ref, zout_ref, zscr,
     zout_ref[:, :] = z
 
 
-def _dg(a, b, dims):
-    return jax.lax.dot_general(a, b, dims, preferred_element_type=jnp.float32)
+def _dg(a, b, dims, mx=jnp.float32):
+    return jax.lax.dot_general(a.astype(mx), b.astype(mx), dims,
+                               preferred_element_type=jnp.float32)
 
 
-def _stage_backward(u, y, fr, h1, g, dx, w1t, w2t, rep, sel, C):
+def _stage_backward(u, y, fr, h1, g, dx, w1t, w2t, rep, sel, C, H,
+                    mx=jnp.float32):
     """VJP of one vector-field evaluation.  u: cotangent of k, (Hp, tile).
 
     Returns (dy, dw1t, db1, dw2t, db2, ddx)."""
-    dxrep = _dot(rep, dx)
-    urep = _dot(sel.T, u)
-    dg = urep * dxrep
-    ddx = _dot(rep.T, urep * g)
+    if rep is None:
+        dxrep = _rep_rows(dx, C, H)
+        urep = jnp.concatenate([u] * C, axis=0)   # SEL.T @ u
+        dg = urep * dxrep
+        ddx = _chan_sum(urep * g, C, H)           # REP.T @ (urep * g)
+    else:
+        dxrep = _dot(rep, dx, mx)
+        urep = _dot(sel.T, u, mx)
+        dg = urep * dxrep
+        ddx = _dot(rep.T, urep * g, mx)
     dpre2 = dg * (1.0 - g * g)
     # dw2t (CHp, W) = dpre2 (CHp, tile) . h1 (W, tile) contracted over tile.
-    dw2t = _dg(dpre2, h1, (((1,), (1,)), ((), ())))
+    dw2t = _dg(dpre2, h1, (((1,), (1,)), ((), ())), mx)
     db2 = jnp.sum(dpre2, axis=1, keepdims=True)
     # dh1 (W, tile) = w2t^T @ dpre2, contracted over CHp.
-    dh1 = _dg(w2t, dpre2, (((0,), (0,)), ((), ())))
+    dh1 = _dg(w2t, dpre2, (((0,), (0,)), ((), ())), mx)
     dpre1 = dh1 * (h1 > 0.0).astype(h1.dtype)
-    dw1t = _dg(dpre1, y, (((1,), (1,)), ((), ())))
+    dw1t = _dg(dpre1, y, (((1,), (1,)), ((), ())), mx)
     db1 = jnp.sum(dpre1, axis=1, keepdims=True)
-    dy = _dg(w1t, dpre1, (((0,), (0,)), ((), ())))
+    dy = _dg(w1t, dpre1, (((0,), (0,)), ((), ())), mx)
     return dy, dw1t, db1, dw2t, db2, ddx
 
 
 def _bwd_kernel(ct_ref, zin_ref, gz_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                 dct_ref, dz0_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
                 lam_scr, dw1_acc, db1_acc, dw2_acc, db2_acc,
-                *, tableau, m, dt_sub, C, H):
+                *, tableau, m, dt_sub, C, H, mx=jnp.float32):
     alpha, beta, c_sol = tableau
     stage_times = (0.0,) + tuple(alpha)
     n_stages = len(c_sol)
@@ -187,7 +240,9 @@ def _bwd_kernel(ct_ref, zin_ref, gz_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         db2_acc[:, :] = jnp.zeros_like(db2_acc)
 
     CHp = w2_ref.shape[0]
-    rep, sel = _selection_matrices(C, H, CHp, jnp.float32)
+    rep = sel = None
+    if H % 8:
+        rep, sel = _selection_matrices(C, H, CHp, jnp.float32)
     w1t, b1 = w1_ref[:, :], b1_ref[:, :]
     w2t, b2 = w2_ref[:, :], b2_ref[:, :]
     slab = ct_ref[:, :]
@@ -202,7 +257,8 @@ def _bwd_kernel(ct_ref, zin_ref, gz_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                     if coef != 0.0:
                         y = y + (dt_sub * coef) * ks[q]
             fr = base + stage_times[stg] * dt_sub
-            k, h1, g, dx = _stage_forward(y, fr, slab, w1t, b1, w2t, b2, rep, sel, C)
+            k, h1, g, dx = _stage_forward(y, fr, slab, w1t, b1, w2t, b2,
+                                          rep, sel, C, H, mx)
             ks.append(k)
             if save:
                 ys.append(y)
@@ -244,7 +300,8 @@ def _bwd_kernel(ct_ref, zin_ref, gz_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                 u = jnp.zeros_like(lam)
             fr = base + stage_times[stg] * dt_sub
             dy, dw1t, db1_, dw2t, db2_, ddx = _stage_backward(
-                u, ys[stg], fr, h1s[stg], gs[stg], dxs[stg], w1t, w2t, rep, sel, C
+                u, ys[stg], fr, h1s[stg], gs[stg], dxs[stg], w1t, w2t, rep,
+                sel, C, H, mx
             )
             v[stg] = dy
             dw1_acc[:, :] += dw1t
@@ -270,8 +327,13 @@ def _bwd_kernel(ct_ref, zin_ref, gz_ref, w1_ref, b1_ref, w2_ref, b2_ref,
 
 @functools.lru_cache(maxsize=64)
 def _make_fused_solve(n, tile_fwd, n_tiles_fwd, tile_bwd, n_tiles_bwd, m,
-                      dt_sub, tableau, C, H, W, CHp, interpret):
+                      dt_sub, tableau, C, H, W, CHp, interpret,
+                      mx=jnp.float32):
     """Builds the custom_vjp'd solve over kernel-layout operands.
+
+    ``mx`` is the MXU operand dtype for the stage matmuls (bf16 for bf16
+    models — matching the XLA path, whose bf16 dots also run the MXU in
+    bf16; f32 accumulation and f32 carried state in both modes).
 
     Operands (all float32):
       ct2  (n*16, Bp)  — per-interval slabs [b; two_c; three_d; 0-pad] rows
@@ -309,7 +371,7 @@ def _make_fused_solve(n, tile_fwd, n_tiles_fwd, tile_bwd, n_tiles_bwd, m,
 
     fwd_call = pl.pallas_call(
         functools.partial(_fwd_kernel, tableau=tableau, m=m, dt_sub=dt_sub,
-                          C=C, H=H),
+                          C=C, H=H, mx=mx),
         out_shape=jax.ShapeDtypeStruct((n * Hp, Bp), jnp.float32),
         grid=(n_tiles_fwd, n),
         in_specs=[slab_spec, z0_spec, rep_spec((W, Hp)), rep_spec((W, 1)),
@@ -330,7 +392,7 @@ def _make_fused_solve(n, tile_fwd, n_tiles_fwd, tile_bwd, n_tiles_bwd, m,
 
     bwd_call = pl.pallas_call(
         functools.partial(_bwd_kernel, tableau=tableau, m=m, dt_sub=dt_sub,
-                          C=C, H=H),
+                          C=C, H=H, mx=mx),
         out_shape=(
             jax.ShapeDtypeStruct((n * _SLAB, Bp), jnp.float32),   # dct
             jax.ShapeDtypeStruct((Hp, Bp), jnp.float32),          # dz0
@@ -415,7 +477,7 @@ class _Packed:
 
     __slots__ = ("ct2", "z0t", "w1t", "b1c", "w2t", "b2c", "z0f", "batch",
                  "B", "Bp", "tile", "n_tiles", "tile_fwd", "n_tiles_fwd",
-                 "C", "H", "W", "Hp", "CHp", "out_dtype")
+                 "C", "H", "W", "Hp", "CHp", "out_dtype", "mxu")
 
 
 def _pack_operands(b_rows, c_rows, d_rows, z0, field, n, single_tile=None):
@@ -436,20 +498,22 @@ def _pack_operands(b_rows, c_rows, d_rows, z0, field, n, single_tile=None):
         return None
     arrays = (b_rows, c_rows, d_rows, z0, w1, b1, w2, b2)
     # Same dtype policy as the streaming kernels (ops/pallas_dispatch.py):
-    # f32 and bf16 are eligible; bf16 enters the kernels as f32 — the solve's
-    # carried state accumulation needs f32 — and the drivers cast results
-    # back.  The casts live in this differentiable packing, so bf16 weight /
-    # coefficient cotangents fall out of autodiff (a cast's transpose is the
-    # cast back).  Mixed dtypes decline: the XLA path's promotion semantics
-    # are the contract there.
+    # f32 and bf16 are eligible.  bf16 operands are stored f32 in VMEM — the
+    # solve's carried state and gradient accumulators need f32 — but the
+    # stage matmuls feed the MXU in bf16 (p.mxu), matching the XLA path's
+    # dot semantics for bf16 models at the MXU's native rate; results and
+    # cotangents come back bf16.  The casts live in this differentiable
+    # packing, so bf16 weight / coefficient cotangents fall out of autodiff
+    # (a cast's transpose is the cast back).  Mixed dtypes decline: the XLA
+    # path's promotion semantics are the contract there.
     if any(a.dtype != arrays[0].dtype for a in arrays):
         return None
     if arrays[0].dtype == jnp.bfloat16:
         b_rows, c_rows, d_rows, z0, w1, b1, w2, b2 = (
             a.astype(jnp.float32) for a in arrays)
-        out_dtype = jnp.bfloat16
+        out_dtype = mxu = jnp.bfloat16
     elif arrays[0].dtype == jnp.float32:
-        out_dtype = jnp.float32
+        out_dtype = mxu = jnp.float32
     else:
         return None
     batch = jnp.broadcast_shapes(b_rows.shape[:-2], z0.shape[:-1])
@@ -457,6 +521,7 @@ def _pack_operands(b_rows, c_rows, d_rows, z0, field, n, single_tile=None):
 
     p = _Packed()
     p.out_dtype = out_dtype
+    p.mxu = mxu
     p.batch, p.B, p.C, p.H, p.W = batch, B, C, H, W
     p.Hp = _round_up(H, 8)
     p.CHp = _round_up(C * H, 8)
@@ -522,7 +587,7 @@ def try_fused_mlp_pallas(rows, z0, field, method, m, dt_sub, n):
 
     solve = _make_fused_solve(n, p.tile_fwd, p.n_tiles_fwd, p.tile, p.n_tiles,
                               m, float(dt_sub), _TABLEAUS[method], p.C, p.H,
-                              p.W, p.CHp, interpret)
+                              p.W, p.CHp, interpret, p.mxu)
     zout = solve(p.ct2, p.z0t, p.w1t, p.b1c, p.w2t, p.b2c)  # (n*Hp, Bp)
 
     knots = zout.reshape(n, p.Hp, p.Bp)[:, :p.H, :p.B]
@@ -551,18 +616,20 @@ def _rev_fwd_kernel(ct_ref, z0_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         yhat_scr[:, :] = z0_ref[:, :]
 
     CHp = w2_ref.shape[0]
-    rep, sel = _selection_matrices(C, H, CHp, jnp.float32)
+    rep = sel = None
+    if H % 8:
+        rep, sel = _selection_matrices(C, H, CHp, jnp.float32)
     w1t, b1 = w1_ref[:, :], b1_ref[:, :]
     w2t, b2 = w2_ref[:, :], b2_ref[:, :]
     slab = ct_ref[:, :]
     y, yhat = y_scr[:, :], yhat_scr[:, :]
 
     fhat, _h, _g, _dx = _stage_forward(yhat, 0.0, slab, w1t, b1, w2t, b2,
-                                       rep, sel, C)
+                                       rep, sel, C, H)
     for s in range(m):
         yhat1 = 2.0 * y - yhat + dt_sub * fhat
         fhat1, _h, _g, _dx = _stage_forward(yhat1, (s + 1) * dt_sub, slab,
-                                            w1t, b1, w2t, b2, rep, sel, C)
+                                            w1t, b1, w2t, b2, rep, sel, C, H)
         y = y + (0.5 * dt_sub) * (fhat + fhat1)
         yhat, fhat = yhat1, fhat1
 
@@ -589,7 +656,9 @@ def _rev_bwd_kernel(ct_ref, yk_ref, yhk_ref, gz_ref,
         db2_acc[:, :] = jnp.zeros_like(db2_acc)
 
     CHp = w2_ref.shape[0]
-    rep, sel = _selection_matrices(C, H, CHp, jnp.float32)
+    rep = sel = None
+    if H % 8:
+        rep, sel = _selection_matrices(C, H, CHp, jnp.float32)
     w1t, b1 = w1_ref[:, :], b1_ref[:, :]
     w2t, b2 = w2_ref[:, :], b2_ref[:, :]
     slab = ct_ref[:, :]
@@ -609,16 +678,16 @@ def _rev_bwd_kernel(ct_ref, yk_ref, yhk_ref, gz_ref,
         # Exact inverse map reconstructs the step's inputs; the two stage
         # evaluations double as the recompute for the step's VJP.
         f1, h11, g1, dx1 = _stage_forward(yhat1, fr1, slab, w1t, b1, w2t, b2,
-                                          rep, sel, C)
+                                          rep, sel, C, H)
         yhat0 = 2.0 * y1 - yhat1 - dt_sub * f1
         f0, h10, g0, dx0 = _stage_forward(yhat0, fr0, slab, w1t, b1, w2t, b2,
-                                          rep, sel, C)
+                                          rep, sel, C, H)
         y0 = y1 - (0.5 * dt_sub) * (f1 + f0)
 
         # VJP of: yhat1 = 2 y0 - yhat0 + dt f(yhat0); y1 = y0 + dt/2 (f(yhat0) + f(yhat1)).
         u1 = (0.5 * dt_sub) * ay
         v1, dw1t, db1_, dw2t, db2_, ddx1 = _stage_backward(
-            u1, yhat1, fr1, h11, g1, dx1, w1t, w2t, rep, sel, C)
+            u1, yhat1, fr1, h11, g1, dx1, w1t, w2t, rep, sel, C, H)
         dw1_acc[:, :] += dw1t
         db1_acc[:, :] += db1_
         dw2_acc[:, :] += dw2t
@@ -628,7 +697,7 @@ def _rev_bwd_kernel(ct_ref, yk_ref, yhk_ref, gz_ref,
         ayh1 = ayh + v1
         u0 = (0.5 * dt_sub) * ay + dt_sub * ayh1
         v0, dw1t, db1_, dw2t, db2_, ddx0 = _stage_backward(
-            u0, yhat0, fr0, h10, g0, dx0, w1t, w2t, rep, sel, C)
+            u0, yhat0, fr0, h10, g0, dx0, w1t, w2t, rep, sel, C, H)
         dw1_acc[:, :] += dw1t
         db1_acc[:, :] += db1_
         dw2_acc[:, :] += dw2t
