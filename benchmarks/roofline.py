@@ -84,8 +84,18 @@ def annotate(result, t_seconds, cost, per_iter=1):
     result["pct_peak_hbm"] = round(100 * hbm_frac, 2)
     # The binding constraint is whichever ceiling the kernel is closer to;
     # when it is far from both, per-op dispatch / serial latency dominates
-    # (the regime the fused kernels exist to escape).
-    if max(mxu_frac, hbm_frac) < 0.05:
+    # (the regime the fused kernels exist to escape).  The byte counts are
+    # XLA fusion-boundary bytes: when the implied bandwidth exceeds the HBM
+    # peak, the steady-state working set is VMEM-resident across the timed
+    # scan's iterations and the traffic never reaches HBM — report that
+    # regime explicitly instead of an impossible HBM fraction.
+    if hbm_frac > 1.0:
+        result["bound"] = "vmem-resident"
+        result["note"] = (
+            "fusion-boundary bytes/time exceeds HBM peak: working set stays "
+            "in VMEM across scan iterations; pct_peak_hbm is an upper bound "
+            "on HBM pressure, not achieved DRAM bandwidth")
+    elif max(mxu_frac, hbm_frac) < 0.05:
         result["bound"] = "dispatch/latency"
     elif mxu_frac >= hbm_frac:
         result["bound"] = "mxu"
