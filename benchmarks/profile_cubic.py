@@ -53,7 +53,14 @@ def slope(name, op, args, k1=2, k2=8, reps=5):
 # (1) whole public pipeline
 slope("natural_cubic_coeffs (full)", lambda a: tc.natural_cubic_coeffs(a), (xj,))
 
-# (2) the fused fit incl. its transposes, on the already-imputed array
+# (1b) the batch-major fused path it now dispatches to (raw values in,
+# in-kernel imputation + transposes, batch-major out)
+t_full = jnp.arange(LENGTH, dtype=jnp.float32)
+slope("masked_natural_cubic_full (batch-major)",
+      lambda a: mcp.masked_natural_cubic_full(t_full, a[..., 0], 1), (xj,))
+
+# (2) the legacy length-major fit incl. its transposes, on the
+# already-imputed array
 t = jnp.arange(LENGTH, dtype=jnp.float32)
 slope("masked_natural_cubic_pallas (fit + transposes)",
       lambda a: mcp.masked_natural_cubic_pallas(t, a[..., 0]), (xj,))

@@ -13,10 +13,14 @@ import numpy as np
 import pytest
 
 from torchcde_tpu.interpolation.cubic import (
+    _impute_endpoints,
     _masked_coeffs_xla,
     _natural_cubic_coeffs_masked,
 )
-from torchcde_tpu.ops.masked_cubic_pallas import masked_natural_cubic_pallas
+from torchcde_tpu.ops.masked_cubic_pallas import (
+    masked_natural_cubic_full,
+    masked_natural_cubic_pallas,
+)
 
 # Interpret-mode Pallas kernels are ~100x slower than compiled; this module
 # is part of the slow tier (run the fast core suite with -m 'not slow').
@@ -96,3 +100,85 @@ def test_matches_full_masked_pipeline():
         np.testing.assert_allclose(
             g, np.asarray(r), rtol=2e-4, atol=2e-4, err_msg=name
         )
+
+
+# --------------------------------------------------------------------------
+# Batch-major full path: raw values in, in-kernel imputation, batch-major
+# coefficients out (masked_natural_cubic_full) — must match XLA imputation
+# followed by the XLA masked fit for both endpoint-imputation versions.
+# --------------------------------------------------------------------------
+
+
+def _compare_full(t_np, x_np, version):
+    t = jnp.asarray(t_np, jnp.float32)
+    x = jnp.asarray(x_np, jnp.float32)
+    ref = _masked_coeffs_xla(t, _impute_endpoints(x, version))
+    got = masked_natural_cubic_full(t, x, version, interpret=True)
+    got = tuple(v[..., :-1] for v in got)
+    # Rows with no observation at all produce garbage on both paths; the
+    # dispatching caller masks them with its any-observation predicate.
+    any_obs = ~np.all(np.isnan(np.asarray(x_np)), axis=-1, keepdims=True)
+    for name, r, g in zip(("a", "b", "two_c", "three_d"), ref, got):
+        g = np.where(any_obs, np.asarray(g), 0.0)
+        r = np.where(any_obs, np.asarray(r), 0.0)
+        np.testing.assert_allclose(g, r, rtol=2e-4, atol=2e-4,
+                                   err_msg=f"v{version} {name}")
+
+
+@pytest.mark.parametrize("version", [0, 1])
+@pytest.mark.parametrize("shape", [(4, 37), (3, 300), (2, 530)])
+def test_full_random_nan_patterns(version, shape):
+    x = rng.standard_normal(shape).astype(np.float32)
+    x[rng.random(shape) < 0.3] = np.nan
+    x[:, shape[-1] // 2] = rng.standard_normal(shape[0])  # >=1 obs per row
+    t = np.cumsum(0.5 + rng.random(shape[-1])).astype(np.float32)
+    _compare_full(t, x, version)
+
+
+@pytest.mark.parametrize("version", [0, 1])
+def test_full_leading_trailing_runs(version):
+    # Long leading/trailing NaN runs exercise the in-kernel imputation, and
+    # multi-dim batches exercise the flatten/restore path.
+    x = rng.standard_normal((2, 3, 130)).astype(np.float32)
+    x[..., :41] = np.nan
+    x[..., -37:] = np.nan
+    x[rng.random(x.shape) < 0.2] = np.nan
+    x[..., 65] = rng.standard_normal((2, 3))
+    t = np.arange(130, dtype=np.float32)
+    _compare_full(t, x, version)
+
+
+def test_full_degenerate_rows():
+    L = 70
+    x = rng.standard_normal((5, L)).astype(np.float32)
+    x[1, :] = np.nan  # all-NaN row (masked by the caller on both paths)
+    x[2, :] = np.nan
+    x[2, 31] = 1.5  # single observation
+    x[3, :] = np.nan
+    x[3, 10] = -1.0
+    x[3, 50] = 2.0  # two observations
+    x[4, ::7] = np.nan
+    t = np.arange(L, dtype=np.float32)
+    _compare_full(t, x, 1)
+
+
+def test_full_matches_dispatching_entry():
+    # End-to-end: _natural_cubic_coeffs_masked (XLA path on CPU) against the
+    # batch-major fused path on the same raw data, both versions.
+    L = 120
+    x = rng.standard_normal((8, L)).astype(np.float32)
+    x[rng.random(x.shape) < 0.2] = np.nan
+    t = np.arange(L, dtype=np.float32)
+    any_obs = ~np.all(np.isnan(x), axis=-1, keepdims=True)
+    for version in (0, 1):
+        ref = _natural_cubic_coeffs_masked(
+            jnp.asarray(t), jnp.asarray(x), _version=version)
+        got = masked_natural_cubic_full(
+            jnp.asarray(t, jnp.float32), jnp.asarray(x), version,
+            interpret=True)
+        got = tuple(v[..., :-1] for v in got)
+        for name, r, g in zip(("a", "b", "two_c", "three_d"), ref, got):
+            g = np.where(any_obs, np.asarray(g), 0.0)
+            np.testing.assert_allclose(
+                g, np.asarray(r), rtol=2e-4, atol=2e-4,
+                err_msg=f"v{version} {name}")

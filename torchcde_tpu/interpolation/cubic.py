@@ -20,6 +20,8 @@ preserved):
   are data, not shapes.
 """
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -187,30 +189,16 @@ def _natural_cubic_coeffs_masked(t, x, _version):
     pipeline below remains the reference implementation and the backward
     path.
     """
-    length = x.shape[-1]
-    observed = ~jnp.isnan(x)
-    any_obs = jnp.any(observed, axis=-1, keepdims=True)
-
-    pos = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
-    first_idx = jnp.argmax(observed, axis=-1)[..., None]
-    last_idx = (length - 1) - jnp.argmax(jnp.flip(observed, axis=-1), axis=-1)[..., None]
-    v_first = jnp.take_along_axis(x, first_idx, axis=-1)
-    v_last = jnp.take_along_axis(x, last_idx, axis=-1)
-
-    if _version == 0:
-        # Impute only the very first/last entry (interpolation_cubic.py:101-118).
-        x = jnp.where((pos == 0) & ~observed, v_first, x)
-        x = jnp.where((pos == length - 1) & ~observed, v_last, x)
-    else:
-        # Fill forward/backward from the first/last observation
-        # (interpolation_cubic.py:119-131); interior NaNs stay missing.
-        x = jnp.where(pos < first_idx, v_first, x)
-        x = jnp.where(pos > last_idx, v_last, x)
+    any_obs = jnp.any(~jnp.isnan(x), axis=-1, keepdims=True)
 
     t_arr = jnp.asarray(t).astype(x.dtype)
     if _fused_fit_ok(x):
-        a, b, two_c, three_d = _masked_fit_fused(t_arr, x)
+        # Raw values go straight to the kernels: the endpoint imputation
+        # happens in-kernel (ops/masked_cubic_pallas.py:_prep_kernel_bm), so
+        # the full-grid array never makes a dedicated imputation pass.
+        a, b, two_c, three_d = _masked_fit_fused(_version, t_arr, x)
     else:
+        x = _impute_endpoints(x, _version)
         a, b, two_c, three_d = _masked_coeffs_xla(t_arr, x)
 
     # All-NaN channels: constant zero path (interpolation_cubic.py:85-92).
@@ -221,6 +209,28 @@ def _natural_cubic_coeffs_masked(t, x, _version):
         jnp.where(any_obs, two_c, zero),
         jnp.where(any_obs, three_d, zero),
     )
+
+
+def _impute_endpoints(x, _version):
+    """Endpoint imputation (interpolation_cubic.py:101-131): version 0
+    replaces only a missing first/last entry with the nearest observation;
+    version 1 fills forward/backward from the first/last observation.
+    Interior NaNs stay missing either way."""
+    length = x.shape[-1]
+    observed = ~jnp.isnan(x)
+    pos = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    first_idx = jnp.argmax(observed, axis=-1)[..., None]
+    last_idx = (length - 1) - jnp.argmax(jnp.flip(observed, axis=-1), axis=-1)[..., None]
+    v_first = jnp.take_along_axis(x, first_idx, axis=-1)
+    v_last = jnp.take_along_axis(x, last_idx, axis=-1)
+
+    if _version == 0:
+        x = jnp.where((pos == 0) & ~observed, v_first, x)
+        x = jnp.where((pos == length - 1) & ~observed, v_last, x)
+    else:
+        x = jnp.where(pos < first_idx, v_first, x)
+        x = jnp.where(pos > last_idx, v_last, x)
+    return x
 
 
 def _fused_fit_ok(x):
@@ -295,24 +305,27 @@ def _masked_coeffs_xla(t, x):
     return a, b, two_c, three_d
 
 
-@jax.custom_vjp
-def _masked_fit_fused(t, x):
-    """Fused-Pallas masked fit; numerically matches ``_masked_coeffs_xla``.
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _masked_fit_fused(_version, t, x):
+    """Fused-Pallas masked fit on *raw* values (imputation in-kernel);
+    numerically matches ``_masked_coeffs_xla`` after ``_impute_endpoints``.
     Backward differentiates the XLA pipeline (recompute — the masked fit is
     offline preprocessing, so the forward speed is what matters)."""
-    from ..ops.masked_cubic_pallas import masked_natural_cubic_pallas
+    from ..ops.masked_cubic_pallas import masked_natural_cubic_full
 
-    a, b, two_c, three_d = masked_natural_cubic_pallas(t, x)
+    a, b, two_c, three_d = masked_natural_cubic_full(t, x, _version)
     return a[..., :-1], b[..., :-1], two_c[..., :-1], three_d[..., :-1]
 
 
-def _masked_fit_fused_fwd(t, x):
-    return _masked_fit_fused(t, x), (t, x)
+def _masked_fit_fused_fwd(_version, t, x):
+    return _masked_fit_fused(_version, t, x), (t, x)
 
 
-def _masked_fit_fused_bwd(res, g):
+def _masked_fit_fused_bwd(_version, res, g):
     t, x = res
-    _, vjp = jax.vjp(_masked_coeffs_xla, t, x)
+    _, vjp = jax.vjp(
+        lambda t_, x_: _masked_coeffs_xla(t_, _impute_endpoints(x_, _version)),
+        t, x)
     return vjp(g)
 
 

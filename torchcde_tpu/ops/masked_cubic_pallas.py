@@ -34,6 +34,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -83,18 +84,16 @@ def _shift_before(v, carry, kb, wb):
 # --------------------------------------------------------------------------
 
 
-def _prep_kernel(x_ref, t_ref, obs_ref, hr_ref, pds_ref, sph_ref, cx, ct, cf):
-    kb, wb = x_ref.shape
+def _prep_body(x, t, obsf, hr_ref, pds_ref, sph_ref, cx, ct, cf):
+    """Shared K1 math: next-observed fill + interval quantities, given the
+    in-VMEM (kb, wb) observed-values block, times and float mask."""
+    kb, wb = x.shape
 
     @pl.when(pl.program_id(1) == 0)
     def _init():
-        cx[:, :] = jnp.zeros((1, wb), x_ref.dtype)
-        ct[:, :] = jnp.zeros((1, wb), x_ref.dtype)
-        cf[:, :] = jnp.zeros((1, wb), x_ref.dtype)
-
-    x = x_ref[:, :]
-    t = jnp.broadcast_to(t_ref[:, :], (kb, wb))
-    obsf = obs_ref[:, :]
+        cx[:, :] = jnp.zeros((1, wb), x.dtype)
+        ct[:, :] = jnp.zeros((1, wb), x.dtype)
+        cf[:, :] = jnp.zeros((1, wb), x.dtype)
 
     (xin, tin), flin = _fill_block([x, t], obsf, reverse=True)
     xin = jnp.where(flin > 0.5, xin, cx[:, :])
@@ -117,6 +116,52 @@ def _prep_kernel(x_ref, t_ref, obs_ref, hr_ref, pds_ref, sph_ref, cx, ct, cf):
     cx[:, :] = xin[:1, :]
     ct[:, :] = tin[:1, :]
     cf[:, :] = ftot[:1, :]
+
+
+def _prep_kernel(x_ref, t_ref, obs_ref, hr_ref, pds_ref, sph_ref, cx, ct, cf):
+    kb, wb = x_ref.shape
+    t = jnp.broadcast_to(t_ref[:, :], (kb, wb))
+    _prep_body(x_ref[:, :], t, obs_ref[:, :], hr_ref, pds_ref, sph_ref,
+               cx, ct, cf)
+
+
+def _prep_kernel_bm(x_ref, t_ref, sc_ref, hr_ref, pds_ref, sph_ref,
+                    xs_ref, obs_ref, cx, ct, cf, *, version):
+    """K1 over a batch-major raw-values block: in-kernel layout transpose,
+    NaN masking and endpoint imputation (interpolation_cubic.py:101-131),
+    then the shared interval math.  Also emits the length-major xs / obs
+    blocks the downstream kernels consume, so the full-grid arrays never
+    make a separate XLA transpose or imputation pass."""
+    wb, kb = x_ref.shape
+    xb = x_ref[:, :].T  # (kb, wb) length-major
+    t = jnp.broadcast_to(t_ref[:, :], (kb, wb))
+    raw_obs = ~(xb != xb)
+
+    first_t = sc_ref[0:1, :]
+    last_t = sc_ref[1:2, :]
+    v_first = sc_ref[2:3, :]
+    v_last = sc_ref[3:4, :]
+    tg0 = sc_ref[4:5, :]
+    tg1 = sc_ref[5:6, :]
+    if version == 0:
+        # Impute only the first/last grid entry with the nearest observation.
+        imp_lead = t == tg0
+        imp_trail = t == tg1
+    else:
+        # Fill forward/backward from the first/last observation; interior
+        # NaNs stay missing.  Padded rows (t > tg1) stay unobserved.
+        imp_lead = t < first_t
+        imp_trail = (t > last_t) & (t <= tg1)
+    x = jnp.where(raw_obs, xb,
+                  jnp.where(imp_lead, jnp.broadcast_to(v_first, (kb, wb)),
+                            jnp.broadcast_to(v_last, (kb, wb))))
+    obs = raw_obs | imp_lead | imp_trail
+    xs = jnp.where(obs, x, jnp.zeros_like(x))
+    obsf = obs.astype(xb.dtype)
+
+    xs_ref[:, :] = xs
+    obs_ref[:, :] = obsf
+    _prep_body(xs, t, obsf, hr_ref, pds_ref, sph_ref, cx, ct, cf)
 
 
 # --------------------------------------------------------------------------
@@ -279,7 +324,8 @@ def _subst_kernel(nd_ref, nb_ref, hr_ref, sph_ref, xs_ref, obs_ref,
 
 
 def _rebase_kernel(a_ref, b_ref, c_ref, d_ref, t_ref, obs_ref,
-                   ao_ref, bo_ref, co_ref, do_ref, ca, cb, cc, cd, ct, cf):
+                   ao_ref, bo_ref, co_ref, do_ref, ca, cb, cc, cd, ct, cf,
+                   transpose_out=False):
     kb, wb = a_ref.shape
 
     @pl.when(pl.program_id(1) == 0)
@@ -312,10 +358,23 @@ def _rebase_kernel(a_ref, b_ref, c_ref, d_ref, t_ref, obs_ref,
     ftot = jnp.maximum(flin, cf[:, :])
 
     offset = t_obs - t
-    ao_ref[:, :] = a_k + ((0.5 * c_k - d_k * offset / 3.0) * offset - b_k) * offset
-    bo_ref[:, :] = b_k + (d_k * offset - c_k) * offset
-    co_ref[:, :] = c_k - 2.0 * d_k * offset
-    do_ref[:, :] = d_k
+    ao = a_k + ((0.5 * c_k - d_k * offset / 3.0) * offset - b_k) * offset
+    bo = b_k + (d_k * offset - c_k) * offset
+    co = c_k - 2.0 * d_k * offset
+    do = d_k
+    if transpose_out:
+        # Batch-major outputs: the layout transpose happens on the VMEM
+        # block, so the coefficient arrays hit HBM once, already in the
+        # caller's (..., length) layout.
+        ao_ref[:, :] = ao.T
+        bo_ref[:, :] = bo.T
+        co_ref[:, :] = co.T
+        do_ref[:, :] = do.T
+    else:
+        ao_ref[:, :] = ao
+        bo_ref[:, :] = bo
+        co_ref[:, :] = co
+        do_ref[:, :] = do
 
     ca[:, :] = a_k[kb - 1 :, :]
     cb[:, :] = b_k[kb - 1 :, :]
@@ -379,6 +438,145 @@ def _fit_2d(xs, tcol, obs, interpret=False):
     a, b, c, d = run(_rebase_kernel, 4, 6, 128, False,
                      (a0, b0, c0, d0, tcol, obs))
     return a, b, c, d
+
+
+@partial(jax.jit, static_argnames=("version", "interpret"))
+def _fit_2d_bm(xbm, tcol, slab, version, interpret=False):
+    """Fused masked fit from a batch-major (n, k) raw-values array (NaNs
+    intact, pre-imputation); k % _KB == 0, n % 256 == 0.
+
+    tcol: (k, 1) times; slab: (8, n) per-row endpoint scalars
+    [first_t, last_t, v_first, v_last, t_grid_first, t_grid_last, 0, 0].
+    Returns (a, b, two_c, three_d), each batch-major (n, k) full-grid.
+    """
+    n, k = xbm.shape
+    kb = _KB
+    dt = xbm.dtype
+
+    def run(kernel, in_specs, out_specs, n_out, n_carry, wb, args):
+        grid = (n // wb, k // kb)
+        carry = pltpu.VMEM((1, wb), dt)
+        shape = jax.ShapeDtypeStruct((k, n), dt)
+        return pl.pallas_call(
+            kernel,
+            out_shape=tuple([shape] * n_out) if n_out > 1 else shape,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=tuple(out_specs) if n_out > 1 else out_specs[0],
+            scratch_shapes=[carry] * n_carry,
+            interpret=interpret,
+        )(*args)
+
+    nk = k // kb
+
+    def bm_spec(wb, reverse=False):
+        if reverse:
+            return pl.BlockSpec((wb, kb), lambda w, kk, _nk=nk: (w, _nk - 1 - kk),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec((wb, kb), lambda w, kk: (w, kk),
+                            memory_space=pltpu.VMEM)
+
+    def slab_spec(wb):
+        return pl.BlockSpec((8, wb), lambda w, kk: (0, w),
+                            memory_space=pltpu.VMEM)
+
+    wb1 = 256
+    spec1 = _specs(k, n, kb, wb1, reverse=True)
+    hr, pds, sph, xs, obs = run(
+        partial(_prep_kernel_bm, version=version),
+        [bm_spec(wb1, reverse=True), _specs(k, n, kb, wb1, t=True, reverse=True),
+         slab_spec(wb1)],
+        [spec1] * 5, 5, 3, wb1, (xbm, tcol, slab))
+
+    spec2 = _specs(k, n, kb, 256)
+    nd, nb = run(_assemble_fwd_kernel, [spec2] * 3, [spec2] * 2, 2, 6, 256,
+                 (hr, pds, obs))
+
+    spec3 = _specs(k, n, kb, 256, reverse=True)
+    a0, b0, c0, d0 = run(_subst_kernel, [spec3] * 6, [spec3] * 4, 4, 1, 256,
+                         (nd, nb, hr, sph, xs, obs))
+
+    wb4 = 128
+    spec4 = _specs(k, n, kb, wb4)
+    tspec4 = _specs(k, n, kb, wb4, t=True)
+    grid4 = (n // wb4, k // kb)
+    bmshape = jax.ShapeDtypeStruct((n, k), dt)
+    a, b, c, d = pl.pallas_call(
+        partial(_rebase_kernel, transpose_out=True),
+        out_shape=(bmshape,) * 4,
+        grid=grid4,
+        in_specs=[spec4] * 4 + [tspec4, spec4],
+        out_specs=(bm_spec(wb4),) * 4,
+        scratch_shapes=[pltpu.VMEM((1, wb4), dt)] * 6,
+        interpret=interpret,
+    )(a0, b0, c0, d0, tcol, obs)
+    return a, b, c, d
+
+
+def masked_natural_cubic_full(t, x, version, interpret=False):
+    """Whole NaN-masked natural-cubic fit from raw values, batch-major I/O.
+
+    Unlike ``masked_natural_cubic_pallas`` (which takes post-imputation
+    values and transposes to length-major around the kernels), this entry
+    consumes x (..., length) exactly as the caller holds it — NaNs intact,
+    batch-major layout — and performs the endpoint imputation
+    (interpolation_cubic.py:101-131, _version 0/1), the masked fills, the
+    gappy Thomas solve and the polynomial re-basing entirely inside the
+    streaming kernels.  HBM reads x once on the way in and writes each
+    coefficient array once on the way out; the five full-array layout
+    transposes and the two imputation passes of the layered path disappear.
+    All-NaN rows produce garbage (as does the XLA pipeline) — callers mask
+    them with their any-observation predicate.
+
+    Returns (a, b, two_c, three_d), each (..., length) full-grid rows
+    (callers slice off the last row), numerically matching the XLA masked
+    pipeline applied to endpoint-imputed values.
+    """
+    from .pallas_dispatch import upcast_kernel_operands
+
+    (x,), restore = upcast_kernel_operands(x)
+    shape = x.shape
+    k = shape[-1]
+    x2 = x.reshape(-1, k)
+    n = x2.shape[0]
+    t = jnp.asarray(t, x2.dtype)
+
+    # Per-row endpoint scalars for the in-kernel imputation: one cheap
+    # reduction pass over the mask — the full-grid arrays never make a
+    # dedicated XLA pass.
+    obs0 = ~jnp.isnan(x2)
+    first_idx = jnp.argmax(obs0, axis=-1)
+    last_idx = (k - 1) - jnp.argmax(obs0[:, ::-1], axis=-1)
+    v_first = jnp.take_along_axis(x2, first_idx[:, None], axis=-1)[:, 0]
+    v_last = jnp.take_along_axis(x2, last_idx[:, None], axis=-1)[:, 0]
+    first_t = t[first_idx]
+    last_t = t[last_idx]
+    ones = jnp.ones_like(first_t)
+    slab = jnp.stack([
+        first_t, last_t, v_first, v_last, t[0] * ones, t[k - 1] * ones,
+        jnp.zeros_like(ones), jnp.zeros_like(ones),
+    ])
+
+    kpad = (-k) % _KB
+    npad = (-n) % 256
+    if kpad or npad:
+        # NaN-padded rows/columns stay unobserved pass-throughs in every
+        # scan (version-1 trailing imputation stops at t_grid_last, so the
+        # padded tail never becomes phantom knots); their outputs are
+        # sliced off below.
+        x2 = jnp.pad(x2, ((0, npad), (0, kpad)), constant_values=np.nan)
+        slab = jnp.pad(slab, ((0, 0), (0, npad)))
+    if kpad:
+        extra = t[-1] + jnp.arange(1, kpad + 1, dtype=t.dtype)
+        t = jnp.concatenate([t, extra])
+    tcol = t.reshape(-1, 1)
+
+    a, b, c, d = _fit_2d_bm(x2, tcol, slab, version, interpret=interpret)
+    out = []
+    for arr in (a, b, c, d):
+        arr = arr[:n, :k] if (kpad or npad) else arr
+        out.append(restore(arr.reshape(shape)))
+    return tuple(out)
 
 
 def masked_natural_cubic_pallas(t, x, interpret=False):
