@@ -234,5 +234,24 @@ def main(run_all=False):
     print(json.dumps(result))
 
 
+# Transient remote-tunnel failure signatures: a dropped axon connection
+# surfaces as one of these mid-run and wedges the in-process runtime, so the
+# retry must be a fresh process (os.execv), not a Python-level loop.
+_TRANSIENT = (
+    "FAILED_PRECONDITION", "FailedPrecondition", "UNAVAILABLE",
+    "DEADLINE_EXCEEDED", "Socket closed", "Connection reset",
+)
+
+
 if __name__ == "__main__":
-    sys.exit(main(run_all="--all" in sys.argv[1:]))
+    try:
+        sys.exit(main(run_all="--all" in sys.argv[1:]))
+    except Exception as e:
+        retries = int(os.environ.get("BENCH_RETRIES", "2"))
+        msg = f"{type(e).__name__}: {e}"
+        if retries > 0 and any(s in msg for s in _TRANSIENT):
+            print(f"# transient backend failure, retrying ({retries} left): "
+                  f"{msg[:200]}", file=sys.stderr)
+            os.environ["BENCH_RETRIES"] = str(retries - 1)
+            os.execv(sys.executable, [sys.executable] + sys.argv)
+        raise
