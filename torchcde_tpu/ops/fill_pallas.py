@@ -3,10 +3,13 @@
 ``ops.fill.masked_fill_scan`` lowers to ``lax.associative_scan`` — log2(n)
 full-array HBM passes (~11 ms per fill at 8192x4096, and the NaN cubic fit
 runs three of them).  This kernel performs the same select-combine prefix
-entirely in VMEM: (KB, WB) blocks stream through the sequential TPU grid,
-each doing log2(KB) roll-combine vector passes, with the running (value,
-seen-an-observation) state carried across blocks in scratch.  HBM sees each
-array exactly once.
+entirely in VMEM: batch-major (WB, KB) blocks stream through the sequential
+TPU grid, are transposed to length-major *in VMEM* (channel counts are tiny,
+so the long axis must ride the vector lanes — but the layout change costs a
+VPU shuffle, not an HBM round trip), each doing log2(KB) roll-combine vector
+passes, with the running (value, seen-an-observation) state carried across
+blocks in scratch.  HBM sees each array exactly once, already in the
+caller's batch-major layout on both sides.
 
 Semantics match ``masked_fill_scan``: position i receives the most recent
 observed entry at or before it (after it, when ``reverse``); positions before
@@ -26,7 +29,8 @@ _KB = 512
 
 def _lane_block(n_vals):
     """Lane width so that ~(3*n_vals + 6) live (KB, WB) f32 arrays (in/out
-    blocks, carries, and roll temporaries) stay within ~9MB of VMEM."""
+    blocks, their in-VMEM transposes, carries, and roll temporaries) stay
+    within ~9MB of VMEM."""
     return 256 if n_vals <= 2 else 128
 
 
@@ -35,18 +39,18 @@ def _fill_kernel(*refs, n_vals, reverse):
     out_refs = refs[n_vals + 1 : 2 * n_vals + 1]
     carry_refs = refs[2 * n_vals + 1 :]
     obs_ref = in_refs[-1]
-    kb, wb = obs_ref.shape
+    wb, kb = obs_ref.shape  # batch-major block; compute runs length-major
     k_idx = pl.program_id(1)
 
     @pl.when(k_idx == 0)
     def _init():
         edge = kb - 1 if reverse else 0
         for cv, ref in zip(carry_refs[:-1], in_refs[:-1]):
-            cv[:, :] = ref[pl.ds(edge, 1), :]
+            cv[:, :] = ref[:, pl.ds(edge, 1)].T
         carry_refs[-1][:, :] = jnp.zeros((1, wb), obs_ref.dtype)
 
-    vals = [r[:, :] for r in in_refs[:-1]]
-    flag = obs_ref[:, :]
+    vals = [r[:, :].T for r in in_refs[:-1]]
+    flag = obs_ref[:, :].T
     rows = jax.lax.broadcasted_iota(jnp.int32, (kb, wb), 0)
 
     s = 1
@@ -69,7 +73,7 @@ def _fill_kernel(*refs, n_vals, reverse):
     flag = jnp.maximum(flag, carry_refs[-1][:, :])
 
     for out, v in zip(out_refs, vals):
-        out[:, :] = v
+        out[:, :] = v.T
     edge = 0 if reverse else kb - 1
     for cv, v in zip(carry_refs[:-1], vals):
         cv[:, :] = v[edge : edge + 1, :]
@@ -78,20 +82,20 @@ def _fill_kernel(*refs, n_vals, reverse):
 
 @partial(jax.jit, static_argnames=("n_vals", "reverse", "interpret"))
 def _fill_2d(arrays, obs, n_vals, reverse, interpret=False):
-    k, n = obs.shape
+    n, k = obs.shape
     wb = _lane_block(n_vals)
     grid = (n // wb, k // _KB)
     if reverse:
         nk = k // _KB
-        spec = pl.BlockSpec((_KB, wb), lambda w, kk, _nk=nk: (_nk - 1 - kk, w),
+        spec = pl.BlockSpec((wb, _KB), lambda w, kk, _nk=nk: (w, _nk - 1 - kk),
                             memory_space=pltpu.VMEM)
     else:
-        spec = pl.BlockSpec((_KB, wb), lambda w, kk: (kk, w),
+        spec = pl.BlockSpec((wb, _KB), lambda w, kk: (w, kk),
                             memory_space=pltpu.VMEM)
     carry = pltpu.VMEM((1, wb), obs.dtype)
     outs = pl.pallas_call(
         partial(_fill_kernel, n_vals=n_vals, reverse=reverse),
-        out_shape=tuple(jax.ShapeDtypeStruct((k, n), a.dtype) for a in arrays),
+        out_shape=tuple(jax.ShapeDtypeStruct((n, k), a.dtype) for a in arrays),
         grid=grid,
         in_specs=[spec] * (n_vals + 1),
         out_specs=tuple([spec] * n_vals),
@@ -111,23 +115,23 @@ def masked_fill_pallas(values, observed, reverse=False, interpret=False):
     values, restore = upcast_kernel_operands(*values)
     shape = observed.shape
     k = shape[-1]
-    obs2 = observed.reshape(-1, k).T.astype(values[0].dtype)
-    arrs = [v.reshape(-1, k).T for v in values]
+    obs2 = observed.reshape(-1, k).astype(values[0].dtype)
+    arrs = [v.reshape(-1, k) for v in values]
 
     kpad = (-k) % _KB
-    n = obs2.shape[1]
+    n = obs2.shape[0]
     npad = (-n) % _lane_block(len(arrs))
     if kpad or npad:
         # Length padding sits AFTER the data for forward fills (the carry
         # seeds from row 0, which must be the real first entry) and BEFORE it
         # for reverse fills (carry seeds from the last row).
         kw = (0, kpad) if not reverse else (kpad, 0)
-        obs2 = jnp.pad(obs2, (kw, (0, npad)))
-        arrs = [jnp.pad(a, (kw, (0, npad))) for a in arrs]
+        obs2 = jnp.pad(obs2, ((0, npad), kw))
+        arrs = [jnp.pad(a, ((0, npad), kw)) for a in arrs]
 
     outs = _fill_2d(tuple(arrs), obs2, len(arrs), reverse, interpret)
     if kpad or npad:
         sl = slice(0, k) if not reverse else slice(kpad, kpad + k)
-        outs = tuple(o[sl, :n] for o in outs)
-    outs = tuple(restore(o.T.reshape(shape)) for o in outs)
+        outs = tuple(o[:n, sl] for o in outs)
+    outs = tuple(restore(o.reshape(shape)) for o in outs)
     return outs[0] if single else outs
