@@ -62,7 +62,10 @@ def _rescale2(m00, m01, m10, m11):
 
 def _fwd_kernel(d_ref, r_ref, hp_ref, obs_ref, nd_ref, nb_ref, cp_ref, cq_ref,
                 cb_ref):
-    kb, wb = d_ref.shape
+    # Boundary inputs arrive batch-major (the caller's layout) and are
+    # transposed on the VMEM block; the (nd, nb) intermediates handed to the
+    # backward kernel stay length-major.
+    wb, kb = d_ref.shape
     k_idx = pl.program_id(1)
 
     @pl.when(k_idx == 0)
@@ -71,10 +74,10 @@ def _fwd_kernel(d_ref, r_ref, hp_ref, obs_ref, nd_ref, nb_ref, cp_ref, cq_ref,
         cq_ref[:, :] = jnp.ones((1, wb), d_ref.dtype)
         cb_ref[:, :] = jnp.zeros((1, wb), d_ref.dtype)
 
-    d = d_ref[:, :]
-    r = r_ref[:, :]
-    hp = hp_ref[:, :]
-    obs = obs_ref[:, :] > 0.5
+    d = d_ref[:, :].T
+    r = r_ref[:, :].T
+    hp = hp_ref[:, :].T
+    obs = obs_ref[:, :].T > 0.5
 
     # --- nd via 2x2 prefix products ------------------------------------
     c = hp * hp
@@ -132,6 +135,8 @@ def _fwd_kernel(d_ref, r_ref, hp_ref, obs_ref, nd_ref, nb_ref, cp_ref, cq_ref,
 
 
 def _bwd_kernel(nd_ref, nb_ref, h_ref, obs_ref, x_ref, cx_ref):
+    # nd/nb are the forward kernel's length-major intermediates; h/obs come
+    # batch-major from the caller, and x leaves batch-major.
     kb, wb = nd_ref.shape
     k_idx = pl.program_id(1)
 
@@ -141,8 +146,8 @@ def _bwd_kernel(nd_ref, nb_ref, h_ref, obs_ref, x_ref, cx_ref):
 
     nd = nd_ref[:, :]
     nb = nb_ref[:, :]
-    h = h_ref[:, :]
-    obs = obs_ref[:, :] > 0.5
+    h = h_ref[:, :].T
+    obs = obs_ref[:, :].T > 0.5
 
     # x_i = A_i + B_i * x_{i+1}; missing rows pass the carry through.
     nd_safe = jnp.where(nd == 0, 1e-30, nd)
@@ -159,16 +164,19 @@ def _bwd_kernel(nd_ref, nb_ref, h_ref, obs_ref, x_ref, cx_ref):
         s *= 2
     x = A + B * cx_ref[:, :]
 
-    x_ref[:, :] = jnp.where(obs, x, 0.0)
+    x_ref[:, :] = jnp.where(obs, x, 0.0).T
     cx_ref[:, :] = x[:1, :]
 
 
 @partial(jax.jit, static_argnames=("interpret",))
 def _masked_solve_2d(d, r, hp, h, obs, interpret=False):
-    """Solve on (k, n) length-major arrays; k % _KB == 0, n % _WB == 0."""
-    k, n = d.shape
+    """Solve on batch-major (n, k) arrays; k % _KB == 0, n % _WB == 0.
+    The (nd, nb) intermediate between the two kernels stays length-major."""
+    n, k = d.shape
     grid = (n // _WB, k // _KB)
     spec = pl.BlockSpec((_KB, _WB), lambda w, kk: (kk, w), memory_space=pltpu.VMEM)
+    bmspec = pl.BlockSpec((_WB, _KB), lambda w, kk: (w, kk),
+                          memory_space=pltpu.VMEM)
     carry = pltpu.VMEM((1, _WB), d.dtype)
 
     nd, nb = pl.pallas_call(
@@ -178,22 +186,27 @@ def _masked_solve_2d(d, r, hp, h, obs, interpret=False):
             jax.ShapeDtypeStruct((k, n), d.dtype),
         ),
         grid=grid,
-        in_specs=[spec, spec, spec, spec],
+        in_specs=[bmspec, bmspec, bmspec, bmspec],
         out_specs=(spec, spec),
         scratch_shapes=[carry, carry, carry],
         interpret=interpret,
     )(d, r, hp, obs)
 
+    nk = k // _KB
     rspec = pl.BlockSpec(
-        (_KB, _WB), lambda w, kk, nk=k // _KB: (nk - 1 - kk, w),
+        (_KB, _WB), lambda w, kk, _nk=nk: (_nk - 1 - kk, w),
+        memory_space=pltpu.VMEM,
+    )
+    bmrspec = pl.BlockSpec(
+        (_WB, _KB), lambda w, kk, _nk=nk: (w, _nk - 1 - kk),
         memory_space=pltpu.VMEM,
     )
     x = pl.pallas_call(
         _bwd_kernel,
-        out_shape=jax.ShapeDtypeStruct((k, n), d.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, k), d.dtype),
         grid=grid,
-        in_specs=[rspec, rspec, rspec, rspec],
-        out_specs=rspec,
+        in_specs=[rspec, rspec, bmrspec, bmrspec],
+        out_specs=bmrspec,
         scratch_shapes=[carry],
         interpret=interpret,
     )(nd, nb, h, obs)
@@ -214,23 +227,23 @@ def masked_thomas_pallas(diag, rhs, hr, hr_prev, observed, interpret=False):
     )
     shape = diag.shape
     k = shape[-1]
-    d2 = diag.reshape(-1, k).T
-    r2 = rhs.reshape(-1, k).T
-    hp2 = hr_prev.reshape(-1, k).T
-    h2 = hr.reshape(-1, k).T
-    o2 = observed.reshape(-1, k).T.astype(diag.dtype)
+    d2 = diag.reshape(-1, k)
+    r2 = rhs.reshape(-1, k)
+    hp2 = hr_prev.reshape(-1, k)
+    h2 = hr.reshape(-1, k)
+    o2 = observed.reshape(-1, k).astype(diag.dtype)
 
     kpad = (-k) % _KB
-    n = d2.shape[1]
+    n = d2.shape[0]
     npad = (-n) % _WB
     if kpad or npad:
         # Padding rows/lanes are unobserved pass-throughs (identity in every
         # prefix scan), so they never perturb real rows.
-        pk = lambda x, v: jnp.pad(x, ((0, kpad), (0, npad)), constant_values=v)
+        pk = lambda x, v: jnp.pad(x, ((0, npad), (0, kpad)), constant_values=v)
         d2, r2, hp2, h2 = pk(d2, 1.0), pk(r2, 0.0), pk(hp2, 0.0), pk(h2, 0.0)
-        o2 = jnp.pad(o2, ((0, kpad), (0, npad)), constant_values=0.0)
+        o2 = jnp.pad(o2, ((0, npad), (0, kpad)), constant_values=0.0)
 
     x = _masked_solve_2d(d2, r2, hp2, h2, o2, interpret=interpret)
     if kpad or npad:
-        x = x[:k, :n]
-    return restore(x.T.reshape(shape))
+        x = x[:n, :k]
+    return restore(x.reshape(shape))

@@ -1,10 +1,11 @@
 """Pallas TPU kernel: batched tridiagonal solve via in-VMEM PCR+Thomas hybrid.
 
 The natural-cubic-spline fit's hot kernel (SURVEY.md section 3.3; reference
-misc.py:13-67 runs the same recurrence as a Python loop).  Layout is
-(length, batch): the batch dimension rides the VPU lanes and each grid step
-owns one lane block resident in VMEM, so HBM sees exactly one read of the
-system and one write of the solution.
+misc.py:13-67 runs the same recurrence as a Python loop).  I/O is batch-major
+(n, k) — the caller's layout — and each grid step owns one lane block that is
+transposed to length-major *in VMEM* (batch rides the VPU lanes for the
+solve; the layout change is a VPU shuffle, not an HBM round trip), so HBM
+sees exactly one read of the system and one write of the solution.
 
 A plain Thomas sweep is sequential in the length k: 2k loop iterations each
 touching a single (1, W) row — at most one VPU sublane of useful work per
@@ -44,9 +45,9 @@ _LANES = 128
 # scoped-vmem sizes) outgrow the 16MB VMEM, and XLA-level PCR pre-splitting
 # takes over.
 MAX_KERNEL_LENGTH = 1024
-# Lane-block budget in elements per array: ~24 live (k, tile) f32 arrays
-# (5 blocks + 3 scratch + PCR temporaries) within ~14MB.
-_VMEM_ELEM_BUDGET = 14 * 1024 * 1024 // (24 * 4)
+# Lane-block budget in elements per array: ~26 live (k, tile) f32 arrays
+# (5 blocks + 4 scratch + PCR and block-transpose temporaries) within ~14MB.
+_VMEM_ELEM_BUDGET = 14 * 1024 * 1024 // (26 * 4)
 
 
 def _choose_gsize(k):
@@ -62,9 +63,14 @@ def _choose_gsize(k):
     return int(min(g, 256, 1 << int(np.floor(np.log2(k)))))
 
 
-def _pcr_thomas_kernel(d_ref, b_ref, u_ref, l_ref, out_ref, sd_ref, su_ref,
-                       sl_ref, *, gsize):
-    """In-VMEM hybrid solve of one (k, W) block.
+def _pcr_thomas_kernel(d_ref, b_ref, u_ref, l_ref, out_ref, sd_ref, sb_ref,
+                       su_ref, sl_ref, *, gsize):
+    """In-VMEM hybrid solve of one batch-major (W, k) block.
+
+    The block is transposed to length-major (k, W) *in VMEM* — the length
+    axis must ride the lanes for the PCR levels, but the layout change costs
+    a VPU shuffle, not the XLA transpose round trips the caller used to pay
+    (HBM reads/writes each array once, in the caller's layout).
 
     Convention: lo[i] couples row i to row i - stride (lo[0..stride) = 0) and
     up[i] couples row i to row i + stride (tail zeros), where stride doubles
@@ -76,11 +82,11 @@ def _pcr_thomas_kernel(d_ref, b_ref, u_ref, l_ref, out_ref, sd_ref, su_ref,
     second solve sharing those operands (e.g. the transpose solve inside the
     custom VJP) would read the eliminated bands instead of the originals.
     """
-    k, w = d_ref.shape
-    d = d_ref[:, :]
-    b = b_ref[:, :]
-    up = u_ref[:, :]
-    lo = l_ref[:, :]
+    w, k = d_ref.shape
+    d = d_ref[:, :].T
+    b = b_ref[:, :].T
+    up = u_ref[:, :].T
+    lo = l_ref[:, :].T
 
     levels = int(np.log2(gsize))
     if levels:
@@ -103,10 +109,11 @@ def _pcr_thomas_kernel(d_ref, b_ref, u_ref, l_ref, out_ref, sd_ref, su_ref,
 
     # Rows now couple only at stride gsize: slab q = rows [q*G, (q+1)*G) holds
     # element q of every interleaved subsystem.  Park the PCR output in the
-    # scratch buffers (b in out_ref) and Thomas-sweep over slabs, carrying the
-    # previous pivot slab in registers.
+    # length-major scratch buffers and Thomas-sweep over slabs, carrying the
+    # previous pivot slab in registers; solution slabs land in the batch-major
+    # output block via a per-slab VMEM transpose.
     sd_ref[:, :] = d
-    out_ref[:, :] = b
+    sb_ref[:, :] = b
     su_ref[:, :] = up
     sl_ref[:, :] = lo
     m = k // gsize
@@ -118,21 +125,21 @@ def _pcr_thomas_kernel(d_ref, b_ref, u_ref, l_ref, out_ref, sd_ref, su_ref,
         prev_d, prev_b, prev_u = carry
         wq = slab(sl_ref, q) / prev_d
         nd = slab(sd_ref, q) - wq * prev_u
-        nb = slab(out_ref, q) - wq * prev_b
+        nb = slab(sb_ref, q) - wq * prev_b
         sd_ref[pl.ds(q * gsize, gsize), :] = nd
-        out_ref[pl.ds(q * gsize, gsize), :] = nb
+        sb_ref[pl.ds(q * gsize, gsize), :] = nb
         return nd, nb, slab(su_ref, q)
 
-    init = (slab(sd_ref, 0), slab(out_ref, 0), slab(su_ref, 0))
+    init = (slab(sd_ref, 0), slab(sb_ref, 0), slab(su_ref, 0))
     jax.lax.fori_loop(1, m, fwd, init)
 
-    x_last = slab(out_ref, m - 1) / slab(sd_ref, m - 1)
-    out_ref[pl.ds((m - 1) * gsize, gsize), :] = x_last
+    x_last = slab(sb_ref, m - 1) / slab(sd_ref, m - 1)
+    out_ref[:, pl.ds((m - 1) * gsize, gsize)] = x_last.T
 
     def bwd(j, x_next):
         q = m - 2 - j
-        x = (slab(out_ref, q) - slab(su_ref, q) * x_next) / slab(sd_ref, q)
-        out_ref[pl.ds(q * gsize, gsize), :] = x
+        x = (slab(sb_ref, q) - slab(su_ref, q) * x_next) / slab(sd_ref, q)
+        out_ref[:, pl.ds(q * gsize, gsize)] = x.T
         return x
 
     jax.lax.fori_loop(0, m - 1, bwd, x_last)
@@ -149,19 +156,21 @@ def _lane_tile(k, n):
 
 @partial(jax.jit, static_argnames=("interpret",))
 def _pallas_block_solve(d, b, u, l, interpret=False):
-    """Solve for (k, n) arrays (length-major, batch in lanes); n % 128 == 0,
-    k a multiple of the chosen interleave factor."""
-    k, n = d.shape
+    """Solve for batch-major (n, k) arrays; n % 128 == 0, k a multiple of
+    the chosen interleave factor.  Layout transposes happen on the VMEM
+    blocks inside the kernel."""
+    n, k = d.shape
     gsize = _choose_gsize(k)
     tile = _lane_tile(k, n)
-    spec = pl.BlockSpec((k, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    spec = pl.BlockSpec((tile, k), lambda i: (i, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         partial(_pcr_thomas_kernel, gsize=gsize),
-        out_shape=jax.ShapeDtypeStruct((k, n), d.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, k), d.dtype),
         grid=(n // tile,),
         in_specs=[spec, spec, spec, spec],
         out_specs=spec,
         scratch_shapes=[
+            pltpu.VMEM((k, tile), d.dtype),
             pltpu.VMEM((k, tile), d.dtype),
             pltpu.VMEM((k, tile), d.dtype),
             pltpu.VMEM((k, tile), d.dtype),
@@ -243,7 +252,7 @@ def _solve_padded(d, b, up, lo, interpret=False):
         b = jnp.concatenate([b, zpad], axis=-1)
         up = jnp.concatenate([up, zpad], axis=-1)
         lo = jnp.concatenate([lo, zpad], axis=-1)
-    x = _pallas_block_solve(d.T, b.T, up.T, lo.T, interpret=interpret).T
+    x = _pallas_block_solve(d, b, up, lo, interpret=interpret)
     return x[:, :k] if pad else x
 
 
