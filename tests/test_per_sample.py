@@ -1,0 +1,166 @@
+"""Per-sample adaptive step control (options={'per_sample': True}).
+
+torchode-style stepping (arxiv 2210.12375): every batch element runs its own
+error norm, PI controller and acceptance sequence, instead of torchdiffeq's
+whole-batch RMS norm (the semantics the reference inherits through
+torchdiffeq at solver.py:226-227).  Contracts pinned here:
+
+* solution parity with the batch-norm controller on a well-resolved problem;
+* per-sample statistics (each lane's NFE reflects its own difficulty);
+* adjoint gradients flow and agree with per-sample direct backprop;
+* fixed-step methods and unbatched state are rejected loudly.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import torchcde_tpu
+
+rng = np.random.default_rng(12)
+
+
+def _problem(batch=5, length=18, channels=3, hidden=4, spread=0.6):
+    x = rng.standard_normal((batch, length, channels))
+    # Different per-sample magnitudes -> genuinely different step sequences.
+    x *= (10.0 ** np.linspace(-spread, spread, batch))[:, None, None]
+    coeffs = torchcde_tpu.hermite_cubic_coefficients_with_backward_differences(
+        jnp.asarray(x)
+    )
+    X = torchcde_tpu.CubicSpline(coeffs)
+    W = jnp.asarray(rng.standard_normal((hidden, channels)) * 0.2)
+
+    def func(t, z):
+        return jnp.tanh(z)[..., None] * W
+
+    z0 = jnp.asarray(rng.standard_normal((batch, hidden)))
+    return X, func, z0, coeffs
+
+
+def test_matches_batch_norm_controller():
+    X, func, z0, _ = _problem()
+    kwargs = dict(
+        X=X, func=func, z0=z0, t=X.interval, method="dopri5",
+        rtol=1e-6, atol=1e-8, max_steps=4096, adjoint=False,
+    )
+    ref = torchcde_tpu.cdeint(**kwargs)
+    got = torchcde_tpu.cdeint(options=dict(per_sample=True), **kwargs)
+    assert got.shape == ref.shape
+    # The two controllers walk different meshes; they agree to within the
+    # (global) integration error, not bit-exactly.
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-3, atol=2e-3
+    )
+
+
+def test_per_sample_statistics():
+    X, func, z0, _ = _problem()
+    out, stats = torchcde_tpu.cdeint(
+        X=X, func=func, z0=z0, t=X.interval, method="dopri5", adjoint=False,
+        max_steps=4096, return_stats=True, options=dict(per_sample=True),
+    )
+    nfe = np.asarray(stats["nfe"])
+    assert nfe.shape == (z0.shape[0],)
+    # The magnitudes span 10^-0.6 .. 10^0.6: the easiest sample must need
+    # strictly fewer evaluations than the hardest.
+    assert nfe.min() < nfe.max()
+    assert np.asarray(stats["steps_accepted"]).shape == (z0.shape[0],)
+
+
+def test_multi_batch_dims_and_output_times():
+    x = rng.standard_normal((2, 3, 16, 2))
+    coeffs = torchcde_tpu.hermite_cubic_coefficients_with_backward_differences(
+        jnp.asarray(x)
+    )
+    X = torchcde_tpu.CubicSpline(coeffs)
+    W = jnp.asarray(rng.standard_normal((3, 2)) * 0.2)
+
+    def func(t, z):
+        return jnp.tanh(z)[..., None] * W
+
+    z0 = jnp.asarray(rng.standard_normal((2, 3, 3)))
+    t = jnp.linspace(X.interval[0], X.interval[1], 7)
+    # Tight tolerances: both controllers converge to the same trajectory
+    # (at loose tolerances they differ by their legitimate mesh noise).
+    out = torchcde_tpu.cdeint(
+        X=X, func=func, z0=z0, t=t, method="dopri5", adjoint=False,
+        rtol=1e-7, atol=1e-9, options=dict(per_sample=True),
+    )
+    assert out.shape == (2, 3, 7, 3)
+    ref = torchcde_tpu.cdeint(
+        X=X, func=func, z0=z0, t=t, method="dopri5", adjoint=False,
+        rtol=1e-7, atol=1e-9,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("adjoint", [False, True])
+def test_gradients(adjoint):
+    X, func, z0, coeffs = _problem(batch=3, spread=0.3)
+
+    def loss(z0_, c_):
+        Xl = torchcde_tpu.CubicSpline(c_)
+        o = torchcde_tpu.cdeint(
+            X=Xl, func=func, z0=z0_, t=Xl.interval, method="dopri5",
+            adjoint=adjoint, options=dict(per_sample=True),
+        )
+        return jnp.sum(o[..., -1, :] ** 2)
+
+    g_z0, g_c = jax.grad(loss, argnums=(0, 1))(z0, coeffs)
+    assert np.isfinite(np.asarray(g_z0)).all()
+    assert np.isfinite(np.asarray(g_c)).all()
+    assert float(jnp.max(jnp.abs(g_z0))) > 0
+
+
+def test_adjoint_matches_direct():
+    X, func, z0, coeffs = _problem(batch=3, spread=0.3)
+
+    g_adj = jax.grad(
+        lambda z0_: jnp.sum(
+            torchcde_tpu.cdeint(
+                X=X, func=func, z0=z0_, t=X.interval, method="dopri5",
+                rtol=1e-8, atol=1e-10, adjoint=True,
+                options=dict(per_sample=True),
+            )[..., -1, :] ** 2
+        )
+    )(z0)
+    g_dir = jax.grad(
+        lambda z0_: jnp.sum(
+            torchcde_tpu.cdeint(
+                X=X, func=func, z0=z0_, t=X.interval, method="dopri5",
+                rtol=1e-8, atol=1e-10, adjoint=False,
+                options=dict(per_sample=True),
+            )[..., -1, :] ** 2
+        )
+    )(z0)
+    np.testing.assert_allclose(
+        np.asarray(g_adj), np.asarray(g_dir), rtol=1e-3, atol=1e-4
+    )
+
+
+def test_rejects_fixed_step_and_unbatched():
+    X, func, z0, _ = _problem(batch=3)
+    with pytest.raises(ValueError, match="adaptive method"):
+        torchcde_tpu.cdeint(
+            X=X, func=func, z0=z0, t=X.interval, method="rk4",
+            options=dict(per_sample=True, step_size=1.0), adjoint=False,
+        )
+    with pytest.raises(ValueError, match="adaptive method"):
+        torchcde_tpu.cdeint(
+            X=X, func=func, z0=z0, t=X.interval, method="dopri5",
+            step_size=0.5, options=dict(per_sample=True), adjoint=False,
+        )
+    # Unbatched state: nothing to run per-sample over.
+    xs = rng.standard_normal((16, 3))
+    cs = torchcde_tpu.hermite_cubic_coefficients_with_backward_differences(
+        jnp.asarray(xs)
+    )
+    Xs = torchcde_tpu.CubicSpline(cs)
+    with pytest.raises(ValueError, match="tensor state"):
+        torchcde_tpu.cdeint(
+            X=Xs, func=func, z0=jnp.zeros((4,)), t=Xs.interval,
+            method="dopri5", options=dict(per_sample=True), adjoint=False,
+        )

@@ -295,14 +295,16 @@ def test_adaptive_budget_derived_from_knots(monkeypatch):
     out = jax.jit(run)()  # differentiable grad-ready path
     (m_diff, was_diff), = captured
     assert was_diff
-    # 100 knots at the default tolerances: 4 steps/knot, far below 4096.
-    assert m_diff == 400
+    # 100 knots at the default tolerances: 8 steps/knot with a 1024 floor
+    # (dynamics can demand far more steps than knots — see integrate.py),
+    # still well below the flat 4096.
+    assert m_diff == 1024
     captured.clear()
 
     # Tighter tolerances widen the derived budget.
-    run(rtol=1e-6, atol=1e-8)
+    run(rtol=1e-8, atol=1e-10)
     (m_tight, _), = captured
-    assert 400 < m_tight <= 4096
+    assert 1024 < m_tight <= 4096
     captured.clear()
 
     # Explicit max_steps always wins.
@@ -316,3 +318,30 @@ def test_adaptive_budget_derived_from_knots(monkeypatch):
     ref = run(max_steps=4096)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-6, atol=1e-8)
+
+
+def test_exhausted_budget_is_loud():
+    # An undersized step budget must NOT return a silently-truncated
+    # trajectory: the adaptive drivers NaN-poison the output when the loop
+    # exhausts before reaching the end time (the jit-compatible form of
+    # torchdiffeq's max_num_steps RuntimeError).
+    x = jnp.asarray(rng.standard_normal((2, 40, 2)))
+    X = torchcde_tpu.CubicSpline(
+        torchcde_tpu.hermite_cubic_coefficients_with_backward_differences(x)
+    )
+    f = lambda t, z: jnp.tanh(z)[..., None] * jnp.asarray([[0.3, -0.2]])
+    z0 = jnp.asarray(rng.random((2, 2)))
+
+    ok = torchcde_tpu.cdeint(X, f, z0, X.interval, adjoint=False,
+                             method="dopri5")
+    assert np.isfinite(np.asarray(ok)).all()
+
+    # max_steps=2 cannot possibly cover 39 intervals.
+    bad = torchcde_tpu.cdeint(X, f, z0, X.interval, adjoint=False,
+                              method="dopri5", max_steps=2)
+    assert np.isnan(np.asarray(bad)[..., -1, :]).all()
+
+    # Same contract on the adjoint's internal (non-differentiable) solve.
+    bad_adj = torchcde_tpu.cdeint(X, f, z0, X.interval, adjoint=True,
+                                  method="dopri5", max_steps=2)
+    assert np.isnan(np.asarray(bad_adj)[..., -1, :]).all()

@@ -173,9 +173,18 @@ def cdeint(X, func, z0, t, adjoint=True, backend="native", **kwargs):
             differentiating through the solver steps.
         backend: "native" (or the compatibility aliases "torchdiffeq" /
             "torchsde", which route to the same native steppers).
-        **kwargs: rtol, atol, method, options={'step_size':…, 'jump_t':…},
+        **kwargs: rtol, atol, method,
+            options={'step_size':…, 'jump_t':…, 'per_sample':…},
             step_size, max_steps, dt (alias for step_size),
             adjoint_rtol/atol/method/options/params.
+
+            ``options={'per_sample': True}`` (adaptive methods, tensor
+            batched state; beyond the reference) gives every batch element
+            its own error norm, PI controller and acceptance sequence — the
+            torchode design (arxiv 2210.12375) — instead of torchdiffeq's
+            whole-batch RMS norm, so one stiff sample neither drags the
+            batch to its step size nor has its error diluted by easy
+            samples.  ``return_stats`` then reports per-sample counters.
 
     Returns:
         z at each t[i]: shape (..., len(t), hidden_channels) per state leaf.
@@ -192,6 +201,7 @@ def cdeint(X, func, z0, t, adjoint=True, backend="native", **kwargs):
     if dt is not None and step_size is None:
         step_size = dt
     jump_t = options.pop("jump_t", None)
+    per_sample = options.pop("per_sample", False)
     if options:
         warnings.warn(f"Ignoring unsupported solver options: {sorted(options)}")
 
@@ -224,6 +234,21 @@ def cdeint(X, func, z0, t, adjoint=True, backend="native", **kwargs):
 
     z0 = _as_tuple_state(z0)
     _check_compatability(X, func, z0, t)
+
+    if per_sample:
+        # torchode-style per-sample adaptive stepping (torchode,
+        # arxiv 2210.12375): every batch element gets its own PI controller,
+        # initial step, and acceptance sequence, instead of torchdiffeq's
+        # whole-batch error norm — one stiff sample no longer drags the
+        # entire batch to its step size.
+        return _cdeint_per_sample(
+            X, func, z0, t, adjoint=adjoint, backend=backend, method=method,
+            rtol=rtol, atol=atol, step_size=step_size, max_steps=max_steps,
+            return_stats=return_stats, jump_t=jump_t,
+            adjoint_rtol=adjoint_rtol, adjoint_atol=adjoint_atol,
+            adjoint_method=adjoint_method, adjoint_step_size=adjoint_step_size,
+            adjoint_params=adjoint_params, adjoint_max_steps=adjoint_max_steps,
+        )
 
     # The control's knot count sizes the default adaptive step budget
     # (integrate.py): adaptive CDE solves track the control's knots, so the
@@ -401,3 +426,188 @@ def cdeint(X, func, z0, t, adjoint=True, backend="native", **kwargs):
     if return_stats:
         return out, stats
     return out
+
+
+def _cdeint_per_sample(X, func, z0, t, *, adjoint, backend, method, rtol, atol,
+                       step_size, max_steps, return_stats, jump_t,
+                       adjoint_rtol, adjoint_atol, adjoint_method,
+                       adjoint_step_size, adjoint_params, adjoint_max_steps):
+    """``options={'per_sample': True}``: vmap one single-sample adaptive solve
+    over the flattened batch, so each sample runs its own error norm, PI
+    controller and acceptance sequence (the design of torchode,
+    arxiv 2210.12375; torchdiffeq couples the whole batch through one RMS
+    norm).  Under jit the lanes execute in lockstep SIMD — wall-clock is the
+    slowest sample's step count, but no sample is forced to another's step
+    size, so the total work is the sum of per-sample NFEs rather than
+    batch × worst-case.
+
+    Constraints: adaptive methods only (fixed-step methods have nothing
+    per-sample to control), tensor state with at least one batch dimension,
+    and the vector field must follow the documented broadcasting contract
+    (``f(t, z)`` with z (..., hidden) for *any* leading batch shape,
+    including none — each lane calls it unbatched).  With ``return_stats``,
+    every statistic gains a leading flattened-batch axis (per-sample NFE /
+    step counts).  ``adjoint_params`` identity-matching does not survive the
+    per-lane slicing; gradients fall back to the full closure superset.
+    """
+    if method in _FIXED_METHODS or step_size is not None:
+        raise ValueError(
+            "options={'per_sample': True} requires an adaptive method "
+            f"(got method={method!r}"
+            + (", step_size set" if step_size is not None else "")
+            + "): fixed-step solves have no per-sample step control."
+        )
+    if isinstance(z0, tuple) or jnp.ndim(z0) < 2:
+        raise ValueError(
+            "options={'per_sample': True} needs a tensor state with at least "
+            "one batch dimension (z0 of shape (..., hidden_channels))."
+        )
+    z0 = jnp.asarray(z0)
+    batch_shape = z0.shape[:-1]
+    batch = int(np.prod(batch_shape))
+
+    def _flat(leaf):
+        if getattr(leaf, "ndim", 0) >= 3:
+            return jnp.reshape(leaf, (-1,) + leaf.shape[-2:])
+        return leaf
+
+    Xf = jax.tree_util.tree_map(_flat, X)
+    for leaf in jax.tree_util.tree_leaves(Xf):
+        if getattr(leaf, "ndim", 0) >= 3 and leaf.shape[0] != batch:
+            raise ValueError(
+                "per_sample: the control's batch dimensions "
+                f"(flattened size {leaf.shape[0]}) must match the state's "
+                f"(flattened size {batch})."
+            )
+    axes = jax.tree_util.tree_map(
+        lambda leaf: 0 if getattr(leaf, "ndim", 0) >= 3 else None, Xf
+    )
+    z0f = jnp.reshape(z0, (batch, z0.shape[-1]))
+
+    if adjoint:
+        if return_stats:
+            raise ValueError(
+                "return_stats=True requires adjoint=False (solver statistics "
+                "are collected on the direct path)."
+            )
+        out = _per_sample_adjoint(
+            Xf, func, z0f, t, method=method, rtol=rtol, atol=atol,
+            max_steps=max_steps, jump_t=jump_t, adjoint_rtol=adjoint_rtol,
+            adjoint_atol=adjoint_atol, adjoint_method=adjoint_method,
+            adjoint_step_size=adjoint_step_size, adjoint_params=adjoint_params,
+            adjoint_max_steps=adjoint_max_steps,
+        )
+        out = jnp.moveaxis(out, 1, -2)  # per-lane time axis leads after vmap
+    else:
+        inner_kwargs = dict(
+            rtol=rtol, atol=atol, method=method, max_steps=max_steps,
+            return_stats=return_stats,
+        )
+        if jump_t is not None:
+            inner_kwargs["options"] = dict(jump_t=jump_t)
+
+        def one(X1, z01):
+            return cdeint(X1, func, z01, t, adjoint=False, backend=backend,
+                          **inner_kwargs)
+
+        # The Pallas fast paths are single-device whole-batch kernels; under
+        # the per-lane vmap the XLA solver paths are the partitionable
+        # formulation.
+        from . import fused_pallas
+
+        prev = fused_pallas._FORCE
+        fused_pallas.force_fused_pallas(False)
+        try:
+            out = jax.vmap(one, in_axes=(axes, 0))(Xf, z0f)
+        finally:
+            fused_pallas.force_fused_pallas(prev)
+
+    stats = None
+    if return_stats:
+        out, stats = out
+    out = jax.tree_util.tree_map(
+        lambda o: jnp.reshape(o, batch_shape + o.shape[1:]), out
+    )
+    if return_stats:
+        return out, stats
+    return out
+
+
+def _per_sample_adjoint(Xf, func, z0f, t, *, method, rtol, atol,
+                        max_steps, jump_t, adjoint_rtol, adjoint_atol,
+                        adjoint_method, adjoint_step_size, adjoint_params,
+                        adjoint_max_steps):
+    """Per-sample solve with the continuous-backsolve adjoint.
+
+    The closure conversion must happen OUTSIDE the per-lane vmap: converting
+    inside would bake that trace's batch tracers into the hoisted jaxpr,
+    which the custom_vjp backward then re-evaluates after the trace is gone
+    (UnexpectedTracerError).  So the vector field's closure is hoisted once
+    on a reference lane, each hoisted constant is matched back (by identity,
+    the convention of cdeint's adjoint_params handling) to its full-batch
+    array, and the vmap maps the constants explicitly through
+    ``odeint_adjoint``'s pure-function interface."""
+    knots_hint = None
+    grid = getattr(Xf, "grid_points", None)
+    if grid is not None:
+        try:
+            knots_hint = int(np.shape(grid)[-1])
+        except (TypeError, IndexError):
+            knots_hint = None
+    cfg = SolverConfig(method=method, rtol=rtol, atol=atol, step_size=None,
+                       max_steps=max_steps, knots_hint=knots_hint)
+    if adjoint_max_steps is None and adjoint_method in _FIXED_METHODS:
+        if adjoint_step_size is not None and is_concrete(t):
+            tv = np.asarray(t, dtype=np.float64)
+            adjoint_max_steps = max(
+                1, int(np.max(np.ceil(np.diff(tv) / float(adjoint_step_size) - 1e-9)))
+            )
+    adjoint_cfg = SolverConfig(
+        method=adjoint_method, rtol=adjoint_rtol, atol=adjoint_atol,
+        step_size=adjoint_step_size, max_steps=adjoint_max_steps,
+        knots_hint=knots_hint,
+    )
+
+    # The control's leaves become EXPLICIT consts (so per-lane data is a real
+    # vmapped argument and coefficient gradients flow even in eager mode —
+    # closure_convert hoists nothing outside a trace, baking closures as
+    # constants); only the vector field's residual closure (its parameters)
+    # goes through closure_convert, where traced entries are hoisted and
+    # shared across lanes (axis None).
+    xleaves, xdef = jax.tree_util.tree_flatten(Xf)
+    # Rebuilt from the leaves (not tree_leaves(axes): None entries vanish
+    # from pytree flattening).
+    xaxes = [0 if getattr(l, "ndim", 0) >= 3 else None for l in xleaves]
+    nx = len(xleaves)
+
+    def rhs_x(tt, z, xl):
+        X1 = jax.tree_util.tree_unflatten(xdef, xl)
+        return make_cde_rhs(func, X1)(tt, z)
+
+    x0 = [l[0] if a == 0 else l for l, a in zip(xleaves, xaxes)]
+    t0 = jnp.asarray(t)[0]
+    rhs_conv, extra = jax.closure_convert(rhs_x, t0, z0f[0], x0)
+    extra = list(extra)
+    consts = list(xleaves) + extra
+    const_axes = list(xaxes) + [None] * len(extra)
+
+    if adjoint_params is None:
+        grad_mask = None
+    else:
+        wanted = {id(p) for p in jax.tree_util.tree_leaves(adjoint_params)}
+        grad_mask = tuple(id(c) in wanted for c in consts)
+        if sum(grad_mask) < len(wanted):
+            warnings.warn(
+                "Could not identify every adjoint_params entry among the "
+                "arrays the vector field closes over; computing adjoint "
+                "gradients for the full closure superset instead."
+            )
+            grad_mask = None
+
+    def one(cs, z01):
+        return odeint_adjoint(
+            lambda s, z, c: rhs_conv(s, z, c[:nx], *c[nx:]), list(cs), z01, t,
+            cfg, adjoint_cfg, jump_t, grad_mask=grad_mask,
+        )
+
+    return jax.vmap(one, in_axes=(const_axes, 0))(consts, z0f)

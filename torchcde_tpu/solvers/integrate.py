@@ -224,7 +224,16 @@ def _integrate_adaptive_dense(rhs, z0, ts, dt0, state0, cfg, stepper, max_steps,
     zero = jnp.zeros((), jnp.int32)
     carry = (ts[0], z0, dt0, state0, (zero, zero), out0)
     final = _while(cond, body, carry, max_steps, differentiable)
-    return final[5], final[4]
+    # Loud exhaustion: the loop exits with t >= t_end iff it converged (the
+    # cond guarantees it), so t < t_end here means the step budget ran out
+    # mid-solve.  Poison the outputs with NaN instead of returning the
+    # silently-truncated trajectory — the jit-compatible form of
+    # torchdiffeq's max_num_steps RuntimeError.
+    incomplete = final[0] < t_end
+    out = _tree_map(
+        lambda o: jnp.where(incomplete, jnp.full_like(o, jnp.nan), o), final[5]
+    )
+    return out, final[4]
 
 
 def _advance_adaptive(rhs, z0, t0, t1, dt0, state0, cfg, stepper, max_steps, jump_t,
@@ -266,6 +275,13 @@ def _advance_adaptive(rhs, z0, t0, t1, dt0, state0, cfg, stepper, max_steps, jum
     zero = jnp.zeros((), jnp.int32)
     _t, z_final, dt_final, state_final, counts = _while(
         cond, body, (t0, z0, dt0, state0, (zero, zero)), max_steps, differentiable
+    )
+    # Loud exhaustion (see _integrate_adaptive_dense): budget ran out iff the
+    # loop exited with t still short of t1 — poison with NaN rather than
+    # return a silently-truncated state.
+    incomplete = _t < t1
+    z_final = _tree_map(
+        lambda z: jnp.where(incomplete, jnp.full_like(z, jnp.nan), z), z_final
     )
     return z_final, dt_final, state_final, counts
 
@@ -367,16 +383,20 @@ def odeint(rhs, z0, ts, cfg: SolverConfig, jump_t=None, differentiable=True,
         # realised count), but with ``differentiable=True`` every budgeted
         # iteration is executed and checkpointed, so the default is derived
         # from the problem when the knot count is known: adaptive CDE solves
-        # track the control's knots (~1.5 attempted steps/knot at the default
-        # tolerances rtol=1e-4/atol=1e-6), and step counts grow like
-        # tol^(-1/(order+1)) as tolerances tighten below the defaults.
-        # 4 steps/knot x the tolerance factor keeps ~2.5x headroom while
-        # compiling a loop near the realised step count instead of a flat
-        # 4096.  The heuristic is calibrated on the high-order methods
-        # (dopri5/dopri8); low-order steppers' counts blow up much faster
-        # with tolerance, so they keep the flat (order-scaled) budget.  An
-        # explicit max_steps always wins, and the derived default never
-        # exceeds the flat one.
+        # track the control's knots on smooth problems, but the realised
+        # count is ultimately set by the *dynamics* (a wiggly vector field
+        # can need 15+ steps/knot even at the default tolerances), and grows
+        # like tol^(-1/(order+1)) as tolerances tighten.  8 steps/knot x the
+        # tolerance factor with a 1024 floor compiles a loop near the
+        # realised count for the knot-dominated regime while leaving real
+        # headroom for dynamics-dominated solves — and exhaustion is LOUD
+        # (NaN-poisoned output, see the adaptive drivers), never a silently
+        # truncated trajectory, so an undersized budget is detectable and
+        # fixable via an explicit max_steps.  The heuristic applies to the
+        # high-order methods (dopri5/dopri8); low-order steppers' counts
+        # blow up much faster with tolerance, so they keep the flat
+        # (order-scaled) budget.  An explicit max_steps always wins, and
+        # the derived default never exceeds the flat one.
         order_scale = 8 if stepper.order < 3 else 1
         default_steps = _ADAPTIVE_DEFAULT_MAX_STEPS
         if (differentiable and stepper.order >= 4
@@ -388,7 +408,7 @@ def odeint(rhs, z0, ts, cfg: SolverConfig, jump_t=None, differentiable=True,
                 (1e-6 / max(cfg.atol, 1e-30)) ** inv_order,
             )
             default_steps = int(
-                min(default_steps, max(256, 4 * cfg.knots_hint * tol_scale))
+                min(default_steps, max(1024, 8 * cfg.knots_hint * tol_scale))
             )
         max_steps = cfg.max_steps or (default_steps * order_scale)
 
