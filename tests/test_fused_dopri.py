@@ -351,3 +351,22 @@ def test_bfloat16_operands_route_fused(forced_interpret):
     # between the two runs is bounded by the bf16 input rounding)
     np.testing.assert_allclose(np.asarray(out16, np.float32),
                                np.asarray(out32), rtol=0.06, atol=0.06)
+
+
+def test_exhausted_budget_is_loud_fused(forced_interpret):
+    # Parity with the XLA drivers' exhaustion contract (integrate.py): an
+    # undersized step budget NaN-poisons the output instead of returning a
+    # silently-truncated trajectory.
+    from torchcde_tpu.solvers.fused_dopri_pallas import try_fused_dopri5
+    from torchcde_tpu.solvers.integrate import SolverConfig
+
+    C, H, W = 2, 3, 8
+    args = _setup(2, 30, C, H, W)
+    x, z0 = args[0], args[1]
+    co = torchcde_tpu.hermite_cubic_coefficients_with_backward_differences(x)
+    X = CubicSpline(co)
+    fl = MLPVectorField(args[2], args[3], args[4], args[5], H, C)
+    cfg = SolverConfig(method="dopri5", rtol=1e-6, atol=1e-8, max_steps=2)
+    out = try_fused_dopri5(X, fl, z0, np.asarray([0.0, 29.0]), cfg)
+    assert out is not None
+    assert np.isnan(np.asarray(out)[-1]).all()

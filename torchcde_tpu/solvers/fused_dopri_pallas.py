@@ -239,6 +239,16 @@ def _dopri_fwd_kernel(ct_ref, z0_ref, w1_ref, b1_ref, w2_ref, b2_ref, dt0_ref,
     zfin_ref[:, :] = z_scr[:, :]
     dtfin_ref[0, 0] = dt_fin
 
+    # Loud exhaustion, matching the XLA drivers (integrate.py): the loop
+    # exits with t >= t1 iff it converged, so t < t1 here means the step or
+    # store budget ran out — poison the outputs (and the carried state, so
+    # later chunks propagate it) instead of returning a silently-truncated
+    # trajectory.
+    @pl.when(_t < t1)
+    def _():
+        zout_ref[:, :] = jnp.full_like(zout_ref[:, :], jnp.nan)
+        zfin_ref[:, :] = jnp.full_like(zfin_ref[:, :], jnp.nan)
+
 
 def _dopri_bwd_kernel(ct_ref, zst_ref, tst_ref, dtst_ref, cnt_ref, gz_ref,
                       gzfin_ref, w1_ref, b1_ref, w2_ref, b2_ref,
