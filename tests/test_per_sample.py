@@ -164,3 +164,30 @@ def test_rejects_fixed_step_and_unbatched():
             X=Xs, func=func, z0=jnp.zeros((4,)), t=Xs.interval,
             method="dopri5", options=dict(per_sample=True), adjoint=False,
         )
+
+
+@pytest.mark.parametrize("adjoint", [False, True])
+def test_per_sample_output_times(adjoint):
+    # torchode-style per-sample integration spans: each lane reads out at
+    # its own times (e.g. variable-length series ending at different t).
+    X, func, z0, coeffs = _problem(batch=4, spread=0.2)
+    t_end = np.asarray([8.0, 11.0, 14.0, 17.0])
+    t_batched = jnp.asarray(
+        np.stack([np.linspace(0.0, te, 5) for te in t_end])
+    )
+    out = torchcde_tpu.cdeint(
+        X=X, func=func, z0=z0, t=t_batched, method="dopri5", adjoint=adjoint,
+        rtol=1e-7, atol=1e-9, options=dict(per_sample=True),
+    )
+    assert out.shape == (4, 5, 4)
+    # Every lane must match its own shared-t solve.
+    for i in range(4):
+        ref = torchcde_tpu.cdeint(
+            X=torchcde_tpu.CubicSpline(coeffs[i : i + 1]),
+            func=func, z0=z0[i : i + 1], t=t_batched[i], method="dopri5",
+            adjoint=adjoint, rtol=1e-7, atol=1e-9,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out[i]), np.asarray(ref[0]), rtol=1e-4, atol=1e-5,
+            err_msg=f"lane {i}",
+        )

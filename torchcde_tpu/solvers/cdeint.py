@@ -184,7 +184,10 @@ def cdeint(X, func, z0, t, adjoint=True, backend="native", **kwargs):
             torchode design (arxiv 2210.12375) — instead of torchdiffeq's
             whole-batch RMS norm, so one stiff sample neither drags the
             batch to its step size nor has its error diluted by easy
-            samples.  ``return_stats`` then reports per-sample counters.
+            samples.  ``return_stats`` then reports per-sample counters,
+            and ``t`` may be batched — shape (..., n_times) matching the
+            state's batch dims — giving every sample its own
+            output/integration span (variable-length series).
 
     Returns:
         z at each t[i]: shape (..., len(t), hidden_channels) per state leaf.
@@ -233,7 +236,15 @@ def cdeint(X, func, z0, t, adjoint=True, backend="native", **kwargs):
         step_size = float(step_size)
 
     z0 = _as_tuple_state(z0)
-    _check_compatability(X, func, z0, t)
+    if per_sample and jnp.ndim(t) > 1:
+        # Per-sample output/integration spans (torchode's t_eval): t of
+        # shape (..., n_times) matching the state's batch dims — every
+        # sample integrates over and reads out at its own times (e.g.
+        # variable-length series ending at different t).  Validate against
+        # one representative row; each lane re-validates its own.
+        _check_compatability(X, func, z0, jnp.reshape(t, (-1, t.shape[-1]))[0])
+    else:
+        _check_compatability(X, func, z0, t)
 
     if per_sample:
         # torchode-style per-sample adaptive stepping (torchode,
@@ -484,6 +495,18 @@ def _cdeint_per_sample(X, func, z0, t, *, adjoint, backend, method, rtol, atol,
     )
     z0f = jnp.reshape(z0, (batch, z0.shape[-1]))
 
+    # Per-sample output/integration spans: t (..., n_times) maps one row of
+    # times to each lane (torchode's t_eval); a shared 1-D t is closed over.
+    t_axis = None
+    if jnp.ndim(t) > 1:
+        t = jnp.reshape(jnp.asarray(t), (-1, jnp.shape(t)[-1]))
+        if t.shape[0] != batch:
+            raise ValueError(
+                "per_sample: batched output times must have the state's "
+                f"batch dimensions (flattened size {t.shape[0]} vs {batch})."
+            )
+        t_axis = 0
+
     if adjoint:
         if return_stats:
             raise ValueError(
@@ -491,7 +514,7 @@ def _cdeint_per_sample(X, func, z0, t, *, adjoint, backend, method, rtol, atol,
                 "are collected on the direct path)."
             )
         out = _per_sample_adjoint(
-            Xf, func, z0f, t, method=method, rtol=rtol, atol=atol,
+            Xf, func, z0f, t, t_axis, method=method, rtol=rtol, atol=atol,
             max_steps=max_steps, jump_t=jump_t, adjoint_rtol=adjoint_rtol,
             adjoint_atol=adjoint_atol, adjoint_method=adjoint_method,
             adjoint_step_size=adjoint_step_size, adjoint_params=adjoint_params,
@@ -506,8 +529,8 @@ def _cdeint_per_sample(X, func, z0, t, *, adjoint, backend, method, rtol, atol,
         if jump_t is not None:
             inner_kwargs["options"] = dict(jump_t=jump_t)
 
-        def one(X1, z01):
-            return cdeint(X1, func, z01, t, adjoint=False, backend=backend,
+        def one(X1, z01, t1):
+            return cdeint(X1, func, z01, t1, adjoint=False, backend=backend,
                           **inner_kwargs)
 
         # The Pallas fast paths are single-device whole-batch kernels; under
@@ -518,7 +541,7 @@ def _cdeint_per_sample(X, func, z0, t, *, adjoint, backend, method, rtol, atol,
         prev = fused_pallas._FORCE
         fused_pallas.force_fused_pallas(False)
         try:
-            out = jax.vmap(one, in_axes=(axes, 0))(Xf, z0f)
+            out = jax.vmap(one, in_axes=(axes, 0, t_axis))(Xf, z0f, t)
         finally:
             fused_pallas.force_fused_pallas(prev)
 
@@ -533,7 +556,7 @@ def _cdeint_per_sample(X, func, z0, t, *, adjoint, backend, method, rtol, atol,
     return out
 
 
-def _per_sample_adjoint(Xf, func, z0f, t, *, method, rtol, atol,
+def _per_sample_adjoint(Xf, func, z0f, t, t_axis, *, method, rtol, atol,
                         max_steps, jump_t, adjoint_rtol, adjoint_atol,
                         adjoint_method, adjoint_step_size, adjoint_params,
                         adjoint_max_steps):
@@ -585,7 +608,7 @@ def _per_sample_adjoint(Xf, func, z0f, t, *, method, rtol, atol,
         return make_cde_rhs(func, X1)(tt, z)
 
     x0 = [l[0] if a == 0 else l for l, a in zip(xleaves, xaxes)]
-    t0 = jnp.asarray(t)[0]
+    t0 = jnp.asarray(t).reshape(-1)[0]
     rhs_conv, extra = jax.closure_convert(rhs_x, t0, z0f[0], x0)
     extra = list(extra)
     consts = list(xleaves) + extra
@@ -604,10 +627,10 @@ def _per_sample_adjoint(Xf, func, z0f, t, *, method, rtol, atol,
             )
             grad_mask = None
 
-    def one(cs, z01):
+    def one(cs, z01, t1):
         return odeint_adjoint(
-            lambda s, z, c: rhs_conv(s, z, c[:nx], *c[nx:]), list(cs), z01, t,
+            lambda s, z, c: rhs_conv(s, z, c[:nx], *c[nx:]), list(cs), z01, t1,
             cfg, adjoint_cfg, jump_t, grad_mask=grad_mask,
         )
 
-    return jax.vmap(one, in_axes=(const_axes, 0))(consts, z0f)
+    return jax.vmap(one, in_axes=(const_axes, 0, t_axis))(consts, z0f, t)
