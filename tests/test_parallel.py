@@ -96,8 +96,10 @@ def test_sharded_coefficient_construction():
     assert np.allclose(np.asarray(out), ref, atol=1e-10)
 
 
-def test_seq_sharded_tridiagonal_matches_single_device():
-    """Length axis sharded over the mesh: distributed PCR == local Thomas."""
+@pytest.mark.parametrize("method", ["spike", "pcr"])
+def test_seq_sharded_tridiagonal_matches_single_device(method):
+    """Length axis sharded over the mesh: both the substructuring (SPIKE)
+    and the distributed-PCR formulations == local Thomas."""
     from torchcde_tpu.ops.tridiagonal import tridiagonal_solve_thomas
     from torchcde_tpu.parallel.seq_pcr import tridiagonal_solve_seq_sharded
 
@@ -111,7 +113,8 @@ def test_seq_sharded_tridiagonal_matches_single_device():
             jnp.concatenate([pad, l], -1)
         )
         ref = tridiagonal_solve_thomas(b, u, d, l)
-        got = tridiagonal_solve_seq_sharded(b, u, d, l, mesh, axis="model")
+        got = tridiagonal_solve_seq_sharded(b, u, d, l, mesh, axis="model",
+                                            method=method)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-9)
 
 
