@@ -42,7 +42,18 @@ def _local_seen(observed, reverse=False):
 
 
 def _local_fill(values, observed, reverse=False):
-    """Local select-combine fill (ops.fill.masked_fill_scan, axis=-1)."""
+    """Local select-combine fill (ops.fill.masked_fill_scan, axis=-1).
+
+    On TPU the per-shard fill dispatches to the streaming Pallas kernel
+    (shard_map gives per-device code); elsewhere it is the XLA associative
+    scan.  Semantics note: the kernel seeds unobserved prefixes with the
+    array's first entry (the scan identity) exactly like the XLA combine.
+    """
+    if jax.default_backend() == "tpu" and observed.shape[-1] >= 512:
+        from ..ops.fill_pallas import masked_fill_pallas
+
+        return tuple(masked_fill_pallas(tuple(values), observed,
+                                        reverse=reverse))
 
     def combine(a, b):
         a_vals, a_flag = a[:-1], a[-1]
@@ -164,7 +175,14 @@ def _spike_gappy_solve(diag, rhs, hr, hr_prev, observed, axis_name, n_shards):
 
     stacked_rhs = jnp.stack([rhs, e_L, e_R], axis=0)
     bcast = lambda a: jnp.broadcast_to(a, stacked_rhs.shape)
-    sol = _masked_thomas_observed(
+    if jax.default_backend() == "tpu" and diag.shape[-1] >= 512:
+        # Per-shard streaming kernel (shard_map gives per-device code).
+        from ..ops.masked_tridiagonal_pallas import masked_thomas_pallas
+
+        local_solve = masked_thomas_pallas
+    else:
+        local_solve = _masked_thomas_observed
+    sol = local_solve(
         bcast(diag), stacked_rhs, bcast(hr_loc), bcast(hrp_loc),
         jnp.broadcast_to(observed, stacked_rhs.shape))
     x_p, x_l, x_r = sol[0], sol[1], sol[2]
