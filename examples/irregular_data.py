@@ -79,6 +79,25 @@ def main():
     params_lin = init_neural_cde(jax.random.PRNGKey(1), cfg_lin)
     pred_lin = neural_cde_apply(params_lin, cfg_lin, x_rect)
     print("rectilinear predictions:", np.asarray(pred_lin).ravel())
+
+    # Variable lengths WITHOUT padding tricks: per-sample integration spans.
+    # options={'per_sample': True} gives each sample its own adaptive
+    # controller AND its own output times, so every sequence integrates
+    # exactly to its own final observation (and a stiff sample doesn't set
+    # the whole batch's step size).
+    X_cubic = torchcde_tpu.CubicSpline(coeffs)
+    t_ends = jnp.asarray([float(len(t) - 1) for t, _x1, _x2 in batch])
+    t_spans = jnp.stack([jnp.zeros_like(t_ends), t_ends], axis=-1)
+    z0 = 0.1 + jnp.zeros((x.shape[0], 8))
+
+    def field(t, z):
+        return jnp.tanh(z)[..., None] * jnp.ones((1, x.shape[-1]))
+
+    z_T = torchcde_tpu.cdeint(
+        X=X_cubic, func=field, z0=z0, t=t_spans, method="dopri5",
+        adjoint=False, options=dict(per_sample=True),
+    )
+    print("per-sample terminal states:", np.asarray(z_T[:, -1, 0]).ravel())
     return pred
 
 
