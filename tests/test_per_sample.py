@@ -191,3 +191,47 @@ def test_per_sample_output_times(adjoint):
             np.asarray(out[i]), np.asarray(ref[0]), rtol=1e-4, atol=1e-5,
             err_msg=f"lane {i}",
         )
+
+
+def test_batched_t_validation_and_stats_shape():
+    X, func, z0, _ = _problem(batch=4, spread=0.2)
+    # A non-increasing per-lane row must fail loudly, not silently return z0.
+    bad_t = jnp.asarray([[0.0, 5.0], [0.0, 5.0], [5.0, 2.0], [0.0, 5.0]])
+    with pytest.raises(ValueError, match="monotonically increasing"):
+        torchcde_tpu.cdeint(
+            X=X, func=func, z0=z0, t=bad_t, method="dopri5", adjoint=False,
+            options=dict(per_sample=True),
+        )
+
+    # Multi-dim batch: per-sample statistics mirror the output's batch shape.
+    x = rng.standard_normal((2, 2, 14, 2))
+    coeffs = torchcde_tpu.hermite_cubic_coefficients_with_backward_differences(
+        jnp.asarray(x)
+    )
+    Xm = torchcde_tpu.CubicSpline(coeffs)
+    Wm = jnp.asarray(rng.standard_normal((3, 2)) * 0.2)
+    fm = lambda t, z: jnp.tanh(z)[..., None] * Wm
+    z0m = jnp.asarray(rng.standard_normal((2, 2, 3)))
+    out, stats = torchcde_tpu.cdeint(
+        X=Xm, func=fm, z0=z0m, t=Xm.interval, method="dopri5", adjoint=False,
+        return_stats=True, options=dict(per_sample=True),
+    )
+    assert out.shape[:2] == (2, 2)
+    assert np.asarray(stats["nfe"]).shape == (2, 2)
+
+
+def test_force_fused_survives_per_sample():
+    # The per-lane vmap declines the fused kernels via a trace-scoped
+    # thread-local, not by clobbering the user-facing force hook.
+    from torchcde_tpu.solvers import fused_pallas
+
+    X, func, z0, _ = _problem(batch=3, spread=0.2)
+    fused_pallas.force_fused_pallas(True)
+    try:
+        torchcde_tpu.cdeint(
+            X=X, func=func, z0=z0, t=X.interval, method="dopri5",
+            adjoint=False, options=dict(per_sample=True),
+        )
+        assert fused_pallas._FORCE is True
+    finally:
+        fused_pallas.force_fused_pallas(None)

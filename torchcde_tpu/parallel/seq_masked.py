@@ -42,29 +42,14 @@ def _local_seen(observed, reverse=False):
 
 
 def _local_fill(values, observed, reverse=False):
-    """Local select-combine fill (ops.fill.masked_fill_scan, axis=-1).
+    """Local masked fill via the differentiable dispatcher (ops.fill
+    .masked_fill): analytic segment-sum VJP either way, and on single-chip
+    TPU the per-shard fill runs as the streaming Pallas kernel instead of
+    log2(n) associative-scan passes."""
+    from ..ops.fill import masked_fill
 
-    On TPU the per-shard fill dispatches to the streaming Pallas kernel
-    (shard_map gives per-device code); elsewhere it is the XLA associative
-    scan.  Semantics note: the kernel seeds unobserved prefixes with the
-    array's first entry (the scan identity) exactly like the XLA combine.
-    """
-    if jax.default_backend() == "tpu" and observed.shape[-1] >= 512:
-        from ..ops.fill_pallas import masked_fill_pallas
-
-        return tuple(masked_fill_pallas(tuple(values), observed,
-                                        reverse=reverse))
-
-    def combine(a, b):
-        a_vals, a_flag = a[:-1], a[-1]
-        b_vals, b_flag = b[:-1], b[-1]
-        out = tuple(jnp.where(b_flag, bv, av) for av, bv in zip(a_vals, b_vals))
-        return out + (a_flag | b_flag,)
-
-    elems = tuple(values) + (observed,)
-    out = jax.lax.associative_scan(combine, elems, axis=observed.ndim - 1,
-                                   reverse=reverse)
-    return out[:-1]
+    out = masked_fill(tuple(values), observed, axis=-1, reverse=reverse)
+    return out if isinstance(out, tuple) else (out,)
 
 
 def _shard_fill(values, observed, axis_name, n_shards, reverse=False):
@@ -175,14 +160,11 @@ def _spike_gappy_solve(diag, rhs, hr, hr_prev, observed, axis_name, n_shards):
 
     stacked_rhs = jnp.stack([rhs, e_L, e_R], axis=0)
     bcast = lambda a: jnp.broadcast_to(a, stacked_rhs.shape)
-    if jax.default_backend() == "tpu" and diag.shape[-1] >= 512:
-        # Per-shard streaming kernel (shard_map gives per-device code).
-        from ..ops.masked_tridiagonal_pallas import masked_thomas_pallas
+    # The differentiable dispatcher (custom_vjp): the streaming Pallas
+    # kernel on single-chip TPU, the masked Thomas scan otherwise.
+    from ..interpolation.cubic import _masked_solve
 
-        local_solve = masked_thomas_pallas
-    else:
-        local_solve = _masked_thomas_observed
-    sol = local_solve(
+    sol = _masked_solve(
         bcast(diag), stacked_rhs, bcast(hr_loc), bcast(hrp_loc),
         jnp.broadcast_to(observed, stacked_rhs.shape))
     x_p, x_l, x_r = sol[0], sol[1], sol[2]

@@ -164,8 +164,11 @@ def tridiagonal_solve_seq_sharded(
     ``batch_axis`` to additionally shard the leading batch dimension (e.g.
     ``axis="model", batch_axis="data"`` on a (data, model) mesh).
     ``method``: "spike" (substructuring; local Pallas solves + a tiny
-    interface system — the fast path) or "pcr" (distributed cyclic
-    reduction; see the module docstring for the trade-off).
+    interface system — the fast path, safe for diagonally-dominant systems
+    like the natural-cubic fit's) or "pcr" (distributed cyclic reduction —
+    unconditionally stable; pass it explicitly for systems that are not
+    diagonally dominant, where SPIKE's decoupled local blocks could be
+    ill-conditioned).
     """
     shape = jnp.broadcast_shapes(A_diagonal.shape, b.shape)
     k = shape[-1]

@@ -155,6 +155,53 @@ def _as_tuple_state(z0):
     return z0
 
 
+def _knots_hint_of(X):
+    """The control's knot count, sizing the default adaptive step budget
+    (integrate.py): adaptive CDE solves track the control's knots, so the
+    differentiable path can compile a loop near the realised step count."""
+    grid = getattr(X, "grid_points", None)
+    if grid is None:
+        return None
+    try:
+        return int(np.shape(grid)[-1])
+    except (TypeError, IndexError):
+        return None
+
+
+def _derive_fixed_adjoint_max_steps(adjoint_max_steps, adjoint_method,
+                                    adjoint_step_size, t):
+    """The adjoint integrates over traced sub-intervals, so a fixed-step
+    adjoint needs an explicit step bound; derive it from t when concrete."""
+    if adjoint_max_steps is None and adjoint_method in _FIXED_METHODS:
+        if adjoint_step_size is not None and is_concrete(t):
+            tv = np.asarray(t, dtype=np.float64)
+            return max(
+                1,
+                int(np.max(np.ceil(np.diff(tv, axis=-1) / float(adjoint_step_size) - 1e-9))),
+            )
+    return adjoint_max_steps
+
+
+def _match_adjoint_params(adjoint_params, consts):
+    """Reference semantics (solver.py:207-222): ONLY the listed tensors
+    receive adjoint gradients.  Matching is by Python object identity
+    against the hoisted closure constants; if any requested tensor cannot
+    be identified (tracing can rebind them), fall back to the full
+    superset — gradients stay correct, only the saving is forfeited."""
+    if adjoint_params is None:
+        return None
+    wanted = {id(p) for p in jax.tree_util.tree_leaves(adjoint_params)}
+    grad_mask = tuple(id(c) in wanted for c in consts)
+    if sum(grad_mask) < len(wanted):
+        warnings.warn(
+            "Could not identify every adjoint_params entry among the "
+            "arrays the vector field closes over; computing adjoint "
+            "gradients for the full closure superset instead."
+        )
+        return None
+    return grad_mask
+
+
 def cdeint(X, func, z0, t, adjoint=True, backend="native", **kwargs):
     r"""Solves a system of controlled differential equations.
 
@@ -241,7 +288,8 @@ def cdeint(X, func, z0, t, adjoint=True, backend="native", **kwargs):
         # shape (..., n_times) matching the state's batch dims — every
         # sample integrates over and reads out at its own times (e.g.
         # variable-length series ending at different t).  Validate against
-        # one representative row; each lane re-validates its own.
+        # one representative row here; _cdeint_per_sample checks every
+        # row's monotonicity when t is concrete.
         _check_compatability(X, func, z0, jnp.reshape(t, (-1, t.shape[-1]))[0])
     else:
         _check_compatability(X, func, z0, t)
@@ -261,17 +309,7 @@ def cdeint(X, func, z0, t, adjoint=True, backend="native", **kwargs):
             adjoint_params=adjoint_params, adjoint_max_steps=adjoint_max_steps,
         )
 
-    # The control's knot count sizes the default adaptive step budget
-    # (integrate.py): adaptive CDE solves track the control's knots, so the
-    # differentiable path can compile a loop near the realised step count
-    # instead of the flat worst-case budget.
-    knots_hint = None
-    grid = getattr(X, "grid_points", None)
-    if grid is not None:
-        try:
-            knots_hint = int(np.shape(grid)[-1])
-        except (TypeError, IndexError):
-            knots_hint = None
+    knots_hint = _knots_hint_of(X)
 
     cfg = SolverConfig(
         method=method, rtol=rtol, atol=atol, step_size=step_size,
@@ -351,14 +389,8 @@ def cdeint(X, func, z0, t, adjoint=True, backend="native", **kwargs):
             return jax.tree_util.tree_map(lambda o: jnp.moveaxis(o, 0, -2), out)
 
     if adjoint:
-        # The adjoint integrates over traced sub-intervals, so a fixed-step
-        # adjoint needs an explicit step bound; derive it from t when concrete.
-        if adjoint_max_steps is None and adjoint_method in _FIXED_METHODS:
-            if adjoint_step_size is not None and is_concrete(t):
-                tv = np.asarray(t, dtype=np.float64)
-                adjoint_max_steps = max(
-                    1, int(np.max(np.ceil(np.diff(tv) / float(adjoint_step_size) - 1e-9)))
-                )
+        adjoint_max_steps = _derive_fixed_adjoint_max_steps(
+            adjoint_max_steps, adjoint_method, adjoint_step_size, t)
         adjoint_cfg = SolverConfig(
             method=adjoint_method,
             rtol=adjoint_rtol,
@@ -369,30 +401,10 @@ def cdeint(X, func, z0, t, adjoint=True, backend="native", **kwargs):
         )
         rhs_conv, consts = jax.closure_convert(rhs, t[0], z0)
         consts = list(consts)
-        if adjoint_params is None:
-            # Default: every array the vector field closes over gets adjoint
-            # gradients — a superset of the reference's default
-            # (solver.py:207-222: func parameters + raw coefficient tensors).
-            grad_mask = None
-        else:
-            # Reference semantics: ONLY the listed tensors receive adjoint
-            # gradients, and the backward pass integrates nothing for the
-            # rest (a real cost/memory saving for adjoint_params=()).
-            # Matching is by Python object identity against the closed-over
-            # arrays, like the reference's tensor-identity semantics; if any
-            # requested tensor cannot be identified among the hoisted
-            # closure constants (tracing can rebind them), fall back to the
-            # full superset — gradients stay correct, only the saving is
-            # forfeited.
-            wanted = {id(p) for p in jax.tree_util.tree_leaves(adjoint_params)}
-            grad_mask = tuple(id(c) in wanted for c in consts)
-            if sum(grad_mask) < len(wanted):
-                warnings.warn(
-                    "Could not identify every adjoint_params entry among the "
-                    "arrays the vector field closes over; computing adjoint "
-                    "gradients for the full closure superset instead."
-                )
-                grad_mask = None
+        # None: every array the vector field closes over gets adjoint
+        # gradients — a superset of the reference's default
+        # (solver.py:207-222: func parameters + raw coefficient tensors).
+        grad_mask = _match_adjoint_params(adjoint_params, consts)
         out = odeint_adjoint(
             lambda s, z, c: rhs_conv(s, z, *c),
             consts,
@@ -505,6 +517,12 @@ def _cdeint_per_sample(X, func, z0, t, *, adjoint, backend, method, rtol, atol,
                 "per_sample: batched output times must have the state's "
                 f"batch dimensions (flattened size {t.shape[0]} vs {batch})."
             )
+        if is_concrete(t):
+            # Every lane's row must be valid: a non-increasing row would
+            # otherwise exit the adaptive loop immediately and silently
+            # return the initial state for that lane.
+            if not bool(np.all(np.diff(np.asarray(t), axis=-1) > 0)):
+                raise ValueError("t must be monotonically increasing.")
         t_axis = 0
 
     if adjoint:
@@ -534,20 +552,21 @@ def _cdeint_per_sample(X, func, z0, t, *, adjoint, backend, method, rtol, atol,
                           **inner_kwargs)
 
         # The Pallas fast paths are single-device whole-batch kernels; under
-        # the per-lane vmap the XLA solver paths are the partitionable
-        # formulation.
-        from . import fused_pallas
+        # the per-lane vmap the XLA solver paths are the right formulation.
+        # Trace-scoped, thread-local: a user's force_fused_pallas(True)
+        # survives, and concurrent traces in other threads are unaffected.
+        from .fused_pallas import disable_fused_dispatch
 
-        prev = fused_pallas._FORCE
-        fused_pallas.force_fused_pallas(False)
-        try:
+        with disable_fused_dispatch():
             out = jax.vmap(one, in_axes=(axes, 0, t_axis))(Xf, z0f, t)
-        finally:
-            fused_pallas.force_fused_pallas(prev)
 
     stats = None
     if return_stats:
         out, stats = out
+        # Per-sample counters mirror the output's batch shape.
+        stats = jax.tree_util.tree_map(
+            lambda s: jnp.reshape(s, batch_shape + s.shape[1:]), stats
+        )
     out = jax.tree_util.tree_map(
         lambda o: jnp.reshape(o, batch_shape + o.shape[1:]), out
     )
@@ -570,21 +589,11 @@ def _per_sample_adjoint(Xf, func, z0f, t, t_axis, *, method, rtol, atol,
     the convention of cdeint's adjoint_params handling) to its full-batch
     array, and the vmap maps the constants explicitly through
     ``odeint_adjoint``'s pure-function interface."""
-    knots_hint = None
-    grid = getattr(Xf, "grid_points", None)
-    if grid is not None:
-        try:
-            knots_hint = int(np.shape(grid)[-1])
-        except (TypeError, IndexError):
-            knots_hint = None
+    knots_hint = _knots_hint_of(Xf)
     cfg = SolverConfig(method=method, rtol=rtol, atol=atol, step_size=None,
                        max_steps=max_steps, knots_hint=knots_hint)
-    if adjoint_max_steps is None and adjoint_method in _FIXED_METHODS:
-        if adjoint_step_size is not None and is_concrete(t):
-            tv = np.asarray(t, dtype=np.float64)
-            adjoint_max_steps = max(
-                1, int(np.max(np.ceil(np.diff(tv) / float(adjoint_step_size) - 1e-9)))
-            )
+    adjoint_max_steps = _derive_fixed_adjoint_max_steps(
+        adjoint_max_steps, adjoint_method, adjoint_step_size, t)
     adjoint_cfg = SolverConfig(
         method=adjoint_method, rtol=adjoint_rtol, atol=adjoint_atol,
         step_size=adjoint_step_size, max_steps=adjoint_max_steps,
@@ -614,18 +623,7 @@ def _per_sample_adjoint(Xf, func, z0f, t, t_axis, *, method, rtol, atol,
     consts = list(xleaves) + extra
     const_axes = list(xaxes) + [None] * len(extra)
 
-    if adjoint_params is None:
-        grad_mask = None
-    else:
-        wanted = {id(p) for p in jax.tree_util.tree_leaves(adjoint_params)}
-        grad_mask = tuple(id(c) in wanted for c in consts)
-        if sum(grad_mask) < len(wanted):
-            warnings.warn(
-                "Could not identify every adjoint_params entry among the "
-                "arrays the vector field closes over; computing adjoint "
-                "gradients for the full closure superset instead."
-            )
-            grad_mask = None
+    grad_mask = _match_adjoint_params(adjoint_params, consts)
 
     def one(cs, z01, t1):
         return odeint_adjoint(

@@ -31,6 +31,7 @@ products.
 """
 
 import functools
+import threading
 
 import jax
 import jax.numpy as jnp
@@ -59,6 +60,27 @@ MAX_TILE_BWD = 2048
 # None: use the kernel when running on TPU.  True: force (interpret mode off
 # TPU — used by the CPU equivalence tests).  False: never.
 _FORCE = None
+
+# Thread-local trace-scoped disable: contexts that must not dispatch the
+# whole-batch kernels (e.g. the per-lane vmap of per-sample stepping) use
+# this instead of mutating the user-facing _FORCE hook, so a user's explicit
+# force_fused_pallas(True) survives and concurrent traces in other threads
+# are unaffected.
+_TLS = threading.local()
+
+
+class disable_fused_dispatch:
+    """Context manager: decline the fused kernels for dispatches traced in
+    this thread while active (nestable)."""
+
+    def __enter__(self):
+        self._prev = getattr(_TLS, "disable", 0)
+        _TLS.disable = self._prev + 1
+        return self
+
+    def __exit__(self, *exc):
+        _TLS.disable = self._prev
+        return False
 
 
 def force_fused_pallas(mode):
@@ -463,7 +485,7 @@ def _kernel_mode():
     XLA paths; explicit per-shard use via shard_map still works), or the
     ``interpret`` flag to build the kernels with.
     """
-    if _FORCE is False:
+    if _FORCE is False or getattr(_TLS, "disable", 0):
         return None
     if not _on_tpu():
         return True if _FORCE is True else None
