@@ -224,3 +224,32 @@ def test_seq_sharded_masked_cubic_fit_with_batch_sharding():
                                            batch_axis="data")
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-8, atol=1e-8)
+
+
+@pytest.mark.slow
+def test_seq_sharded_masked_cubic_fit_differentiable():
+    # The sharded fit's contract is 'same as natural_cubic_coeffs', which is
+    # a differentiable op: reverse-mode AD must flow through the shard_map
+    # (fills, gappy SPIKE solve, re-basing) and match the single-device
+    # gradient.  Pins the dispatchers used per-shard to the differentiable
+    # custom_vjp wrappers, not raw pallas_calls.
+    from torchcde_tpu.parallel.seq_masked import natural_cubic_coeffs_seq_sharded
+
+    x = rng.standard_normal((2, 64, 2))
+    x[rng.random(x.shape) < 0.3] = np.nan
+    t = np.arange(64, dtype=np.float64)
+    xj = jnp.asarray(x)
+    tj = jnp.asarray(t)
+    mesh = make_mesh(data=1, model=8)
+
+    g_sharded = jax.grad(
+        lambda v: jnp.sum(natural_cubic_coeffs_seq_sharded(v, tj, mesh,
+                                                           axis="model") ** 2)
+    )(xj)
+    g_local = jax.grad(
+        lambda v: jnp.sum(tc.natural_cubic_coeffs(v, tj) ** 2)
+    )(xj)
+    mask = ~np.isnan(x)
+    np.testing.assert_allclose(np.asarray(g_sharded)[mask],
+                               np.asarray(g_local)[mask],
+                               rtol=1e-7, atol=1e-8)
