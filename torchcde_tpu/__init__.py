@@ -22,7 +22,7 @@ from .log_ode import logsig_windows, logsignature_windows
 from .solvers import SolverConfig, cdeint
 from .utils import TupleControl
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 # The reference's public surface (torchcde/__init__.py:1-9) plus the
 # framework's own additions (SolverConfig).
