@@ -165,3 +165,24 @@ def test_malformed_inputs():
             X=object(), func=lambda t, z: jnp.zeros((1, 3, 2)), z0=z0, t=X.interval,
             adjoint=False,
         )
+
+
+def test_torchsde_method_aliases():
+    # torchsde solver names whose zero-diffusion discretisation is exactly
+    # Euler (the CDE reduction always has g = 0, reference solver.py:140-141)
+    # are accepted and match the native euler step.
+    x = jnp.asarray(rng.standard_normal((1, 10, 2)))
+    X = torchcde_tpu.CubicSpline(torchcde_tpu.natural_cubic_coeffs(x))
+
+    def func(t, z):
+        return jnp.broadcast_to(jnp.tanh(z)[..., None], (1, 3, 2))
+
+    z0 = jnp.asarray(rng.standard_normal((1, 3)))
+    ref = torchcde_tpu.cdeint(X=X, func=func, z0=z0, t=X.interval,
+                              backend="torchsde", method="euler", dt=1.0,
+                              adjoint=False)
+    for name in ("milstein", "euler_heun"):
+        out = torchcde_tpu.cdeint(X=X, func=func, z0=z0, t=X.interval,
+                                  backend="torchsde", method=name, dt=1.0,
+                                  adjoint=False)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))

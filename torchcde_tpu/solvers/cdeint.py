@@ -257,6 +257,13 @@ def cdeint(X, func, z0, t, adjoint=True, backend="native", **kwargs):
 
     if backend == "torchsde":
         method = kwargs.pop("method", "midpoint")
+        # SDE-solver names whose zero-diffusion discretisation coincides
+        # EXACTLY with a native stepper (the CDE reduction always has g = 0,
+        # reference solver.py:140-141): milstein's Levy-area correction and
+        # euler_heun's diffusion stage vanish identically, leaving the Euler
+        # drift step.  Names whose drift tableau has no exact native
+        # counterpart (e.g. "srk") are not aliased.
+        method = {"milstein": "euler", "euler_heun": "euler"}.get(method, method)
     elif backend in ("native", "torchdiffeq"):
         method = kwargs.pop("method", None) or "dopri5"
     else:
