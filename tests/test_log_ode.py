@@ -95,7 +95,7 @@ def test_levy_area():
     assert np.allclose(ls, [1.0, 1.0, 0.5])
 
 
-@pytest.mark.parametrize("depth", [1, 2, 3])
+@pytest.mark.parametrize("depth", [1, 2, 3, 4, 5])
 def test_logsignature_vs_oracle(depth):
     for _ in range(3):
         length = int(rng.integers(3, 12))
