@@ -286,7 +286,8 @@ def _advance_adaptive(rhs, z0, t0, t1, dt0, state0, cfg, stepper, max_steps, jum
     return z_final, dt_final, state_final, counts
 
 
-def _advance_fixed(rhs, z0, t0, t1, step_size, state0, stepper, max_steps, differentiable):
+def _advance_fixed(rhs, z0, t0, t1, step_size, state0, stepper, max_steps,
+                   differentiable, exact_bound=True):
     """Fixed steps of ``step_size`` (last step clamped) from t0 to exactly t1."""
 
     if state0 is None:
@@ -295,10 +296,22 @@ def _advance_fixed(rhs, z0, t0, t1, step_size, state0, stepper, max_steps, diffe
         # (z1 = z + 0 * ...), so no cond/while bookkeeping is needed — the
         # cheapest possible loop for the hot fixed-step path.  Only dt > 0
         # iterations count as steps (padding is an artifact of the bound).
+        # When the bound is exact (concrete ts: the common case) there is no
+        # padding and the body stays branch-free; a loose bound (traced ts
+        # falls back to a large default) guards the RK body behind a scalar
+        # cond so exhausted iterations don't pay real rhs evaluations.
+        def real_step(args):
+            t, z, dt = args
+            z1, _err, _state = stepper.step(rhs, t, z, dt, None)
+            return z1
+
         def body(carry, _):
             t, z, n = carry
             dt = jnp.clip(t1 - t, 0.0, step_size)
-            z1, _err, _state = stepper.step(rhs, t, z, dt, None)
+            if exact_bound:
+                z1 = real_step((t, z, dt))
+            else:
+                z1 = jax.lax.cond(dt > 0, real_step, lambda a: a[1], (t, z, dt))
             return (t + dt, z1, n + (dt > 0).astype(jnp.int32)), None
 
         (_t, z_final, n_steps), _ = jax.lax.scan(
@@ -330,6 +343,8 @@ def _static_fixed_steps(ts, step_size):
         return None
     tv = np.asarray(ts, dtype=np.float64)
     intervals = np.diff(tv)
+    if intervals.size == 0:  # single output time: nothing to integrate
+        return 1
     n = int(np.max(np.ceil(intervals / float(step_size) - 1e-9)))
     return max(n, 1)
 
@@ -357,21 +372,30 @@ def odeint(rhs, z0, ts, cfg: SolverConfig, jump_t=None, differentiable=True,
         elif getattr(ts, "dtype", None) != state_dtype:
             ts = jnp.asarray(ts, state_dtype)
 
+    # Non-increasing ts would exit the adaptive loop immediately and return
+    # z0 at every output time with no error OR NaN (the exhaustion guard
+    # compares against ts[-1], which would be behind ts[0]) — validate
+    # loudly while concrete.  Traced ts are the caller's contract.
+    if is_concrete(ts):
+        tv = np.asarray(ts)
+        if tv.shape[0] > 1 and not bool(np.all(np.diff(tv) > 0)):
+            raise ValueError("t must be monotonically increasing.")
+    if jump_t is not None:
+        # _next_jump searchsorts this array; the backward pass sorts its
+        # negated copy (adjoint.py), so sort here too or the forward mesh
+        # silently straddles declared kinks an unsorted caller list hides.
+        jump_t = jnp.sort(jnp.asarray(jump_t))
+
     stepper = cfg.stepper()
     if cfg.method == "dopri5" and jump_t is not None:
         # The FSAL cache is invalid across derivative discontinuities.
         stepper = STEPPERS["dopri5_nofsal"]
     state0 = stepper.init(rhs, ts[0], z0)
-    stages = {"euler": 1, "midpoint": 2, "heun": 2, "rk4": 4, "bosh3": 4,
-              "dopri5": 6, "dopri5_nofsal": 7, "dopri8": 13, "adaptive_heun": 2,
-              "fehlberg2": 3, "reversible_heun": 1, "explicit_adams": 1,
-              "implicit_adams": 2, "fixed_adams": 2}.get(cfg.method, 1)
-    if cfg.method == "dopri5" and jump_t is not None:
-        stages = 7
-    init_nfe = 1 if cfg.method in ("reversible_heun", "dopri5", "explicit_adams",
-                                   "implicit_adams", "fixed_adams") else 0
-    if cfg.method == "dopri5" and jump_t is not None:
-        init_nfe = 0
+    # NFE accounting lives on the Stepper (runge_kutta.py), so a new method
+    # cannot silently report wrong statistics; the dopri5 -> dopri5_nofsal
+    # swap above already carries the right counts.
+    stages = stepper.nfe_per_step
+    init_nfe = stepper.init_nfe
 
     if stepper.adaptive and cfg.step_size is None:
         f0 = rhs(ts[0], z0)
@@ -451,6 +475,7 @@ def odeint(rhs, z0, ts, cfg: SolverConfig, jump_t=None, differentiable=True,
                 "step_size that divides the jump times."
             )
         n_static = _static_fixed_steps(ts, cfg.step_size)
+        exact_bound = n_static is not None
         if n_static is None:
             # Traced `t`: the per-interval step count is data-dependent, so
             # fall back to a bounded masked loop (exhausted iterations take
@@ -465,7 +490,8 @@ def odeint(rhs, z0, ts, cfg: SolverConfig, jump_t=None, differentiable=True,
         def advance(z, t0, t1, dt, state):
             step_size = cfg.step_size if cfg.step_size is not None else (t1 - t0)
             z1, state1, n = _advance_fixed(
-                rhs, z, t0, t1, step_size, state, stepper, n_static, differentiable
+                rhs, z, t0, t1, step_size, state, stepper, n_static,
+                differentiable, exact_bound=exact_bound
             )
             return z1, dt, state1, (n, n)
 

@@ -255,6 +255,10 @@ class Stepper(NamedTuple):
     # triple feeds the quartic dense-output fit in integrate.py.  None when the
     # method cannot expose end-of-step derivatives for free.
     step_dense: Optional[Callable] = None
+    # NFE accounting for collect_stats (integrate.py): steady-state rhs
+    # evaluations per attempted step, and the evaluations ``init`` performs.
+    nfe_per_step: int = 1
+    init_nfe: int = 0
 
 
 def _make_rk_stepper(tableau: ButcherTableau) -> Stepper:
@@ -285,6 +289,7 @@ def _make_rk_stepper(tableau: ButcherTableau) -> Stepper:
     return Stepper(
         init=init, step=step, order=tableau.order,
         adaptive=tableau.c_error is not None, step_dense=step_dense,
+        nfe_per_step=len(tableau.alpha) + 1,
     )
 
 
@@ -318,11 +323,14 @@ def _make_dopri5_fsal() -> Stepper:
 
     def step_dense(rhs, t, z, dt, k1):
         ks, z1, err = _stages(rhs, t, z, dt, k1)
-        y_mid = tree_axpy(dt, _weighted_sum(bmid, ks), z)
+        if bmid is not None:
+            y_mid = tree_axpy(dt, _weighted_sum(bmid, ks), z)
+        else:  # pragma: no cover — lstsq residual check platform-dependent
+            y_mid = _hermite_midpoint(z, z1, ks[0], ks[-1], dt)
         return z1, err, ks[-1], (ks[0], ks[-1], y_mid)
 
     return Stepper(init=init, step=step, order=tab.order, adaptive=True,
-                   step_dense=step_dense)
+                   step_dense=step_dense, nfe_per_step=6, init_nfe=1)
 
 
 def _make_reversible_heun() -> Stepper:
@@ -346,7 +354,8 @@ def _make_reversible_heun() -> Stepper:
         err = tree_scale(0.5 * dt, tree_sub(fhat1, fhat))
         return z1, err, (yhat1, fhat1)
 
-    return Stepper(init=init, step=step, order=2, adaptive=False)
+    return Stepper(init=init, step=step, order=2, adaptive=False,
+                   nfe_per_step=1, init_nfe=1)
 
 
 def _make_adams_stepper(implicit: bool) -> Stepper:
@@ -397,7 +406,8 @@ def _make_adams_stepper(implicit: bool) -> Stepper:
         f_new = rhs(t + dt, z1)  # the trailing E of PECE; next step's f_n
         return z1, None, (count + 1, (f_new, f0, f1, f2))
 
-    return Stepper(init=init, step=step, order=4, adaptive=False)
+    return Stepper(init=init, step=step, order=4, adaptive=False,
+                   nfe_per_step=2 if implicit else 1, init_nfe=1)
 
 
 _ADAMS_EXPLICIT = _make_adams_stepper(implicit=False)
