@@ -38,7 +38,17 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_KB = 512
+# Rows (length axis) per block, per kernel.  Each Hillis-Steele level costs a
+# full-block roll+select regardless of kb, so per-element scan work scales
+# with log2(kb) and SMALLER blocks win until grid-step overhead bites
+# (measured on a v5e at 8192x4096: K2 4.77 ms at kb=128 -> 3.63 ms at kb=32,
+# worse again at 16; K3/K4 already sit at the pure-DMA copy floor at 128;
+# see benchmarks/profile_fit_stages.py).  K1's batch-major input block is
+# (wb, kb) with kb on the LANE axis, so it is pinned to multiples of 128;
+# the length-major kernels only need sublane multiples of 8.  The length
+# padding unit _KB must be a common multiple of all four.
+_KB = 128
+_KB_ASSEMBLE = 32
 
 
 def _rows(kb, wb):
@@ -403,21 +413,22 @@ def _specs(k, n, kb, wb, t=False, reverse=False):
     return pl.BlockSpec((kb, wb), lambda w, kk: (kk, w), memory_space=pltpu.VMEM)
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def _fit_2d(xs, tcol, obs, interpret=False):
-    """Fused masked fit on length-major (k, n) arrays; k % _KB == 0.
+@partial(jax.jit, static_argnames=("interpret", "kb"))
+def _fit_2d(xs, tcol, obs, interpret=False, kb=None):
+    """Fused masked fit on length-major (k, n) arrays; k % kb == 0.
 
     xs: observed values (zeros at missing); tcol: (k, 1) times; obs: float
     observed mask.  Returns (a, b, two_c, three_d), each (k, n) full-grid.
     """
     k, n = xs.shape
-    kb = _KB
+    kb1 = kb or _KB
+    kb2 = kb or _KB_ASSEMBLE
     dt = xs.dtype
 
-    def run(kernel, n_out, n_carry, wb, reverse, args):
-        grid = (n // wb, k // kb)
-        spec = _specs(k, n, kb, wb, reverse=reverse)
-        tspec = _specs(k, n, kb, wb, t=True, reverse=reverse)
+    def run(kernel, n_out, n_carry, wb, reverse, args, kbr):
+        grid = (n // wb, k // kbr)
+        spec = _specs(k, n, kbr, wb, reverse=reverse)
+        tspec = _specs(k, n, kbr, wb, t=True, reverse=reverse)
         in_specs = [tspec if a is tcol else spec for a in args]
         carry = pltpu.VMEM((1, wb), dt)
         shape = jax.ShapeDtypeStruct((k, n), dt)
@@ -431,30 +442,31 @@ def _fit_2d(xs, tcol, obs, interpret=False):
             interpret=interpret,
         )(*args)
 
-    hr, pds, sph = run(_prep_kernel, 3, 3, 256, True, (xs, tcol, obs))
-    nd, nb = run(_assemble_fwd_kernel, 2, 6, 256, False, (hr, pds, obs))
+    hr, pds, sph = run(_prep_kernel, 3, 3, 256, True, (xs, tcol, obs), kb1)
+    nd, nb = run(_assemble_fwd_kernel, 2, 6, 256, False, (hr, pds, obs), kb2)
     a0, b0, c0, d0 = run(_subst_kernel, 4, 1, 256, True,
-                         (nd, nb, hr, sph, xs, obs))
+                         (nd, nb, hr, sph, xs, obs), kb1)
     a, b, c, d = run(_rebase_kernel, 4, 6, 128, False,
-                     (a0, b0, c0, d0, tcol, obs))
+                     (a0, b0, c0, d0, tcol, obs), kb1)
     return a, b, c, d
 
 
-@partial(jax.jit, static_argnames=("version", "interpret"))
-def _fit_2d_bm(xbm, tcol, slab, version, interpret=False):
+@partial(jax.jit, static_argnames=("version", "interpret", "kb"))
+def _fit_2d_bm(xbm, tcol, slab, version, interpret=False, kb=None):
     """Fused masked fit from a batch-major (n, k) raw-values array (NaNs
-    intact, pre-imputation); k % _KB == 0, n % 256 == 0.
+    intact, pre-imputation); k % kb == 0, n % 256 == 0.
 
     tcol: (k, 1) times; slab: (8, n) per-row endpoint scalars
     [first_t, last_t, v_first, v_last, t_grid_first, t_grid_last, 0, 0].
     Returns (a, b, two_c, three_d), each batch-major (n, k) full-grid.
     """
     n, k = xbm.shape
-    kb = _KB
+    kb1 = kb or _KB
+    kb2 = kb or _KB_ASSEMBLE
     dt = xbm.dtype
 
-    def run(kernel, in_specs, out_specs, n_out, n_carry, wb, args):
-        grid = (n // wb, k // kb)
+    def run(kernel, in_specs, out_specs, n_out, n_carry, wb, args, kbr):
+        grid = (n // wb, k // kbr)
         carry = pltpu.VMEM((1, wb), dt)
         shape = jax.ShapeDtypeStruct((k, n), dt)
         return pl.pallas_call(
@@ -467,13 +479,15 @@ def _fit_2d_bm(xbm, tcol, slab, version, interpret=False):
             interpret=interpret,
         )(*args)
 
-    nk = k // kb
+    nk1 = k // kb1
 
     def bm_spec(wb, reverse=False):
+        # Batch-major (wb, kb1) blocks: kb1 rides the lane axis, so K1/K4
+        # are pinned to kb1 (lane multiples of 128).
         if reverse:
-            return pl.BlockSpec((wb, kb), lambda w, kk, _nk=nk: (w, _nk - 1 - kk),
+            return pl.BlockSpec((wb, kb1), lambda w, kk, _nk=nk1: (w, _nk - 1 - kk),
                                 memory_space=pltpu.VMEM)
-        return pl.BlockSpec((wb, kb), lambda w, kk: (w, kk),
+        return pl.BlockSpec((wb, kb1), lambda w, kk: (w, kk),
                             memory_space=pltpu.VMEM)
 
     def slab_spec(wb):
@@ -481,25 +495,25 @@ def _fit_2d_bm(xbm, tcol, slab, version, interpret=False):
                             memory_space=pltpu.VMEM)
 
     wb1 = 256
-    spec1 = _specs(k, n, kb, wb1, reverse=True)
+    spec1 = _specs(k, n, kb1, wb1, reverse=True)
     hr, pds, sph, xs, obs = run(
         partial(_prep_kernel_bm, version=version),
-        [bm_spec(wb1, reverse=True), _specs(k, n, kb, wb1, t=True, reverse=True),
+        [bm_spec(wb1, reverse=True), _specs(k, n, kb1, wb1, t=True, reverse=True),
          slab_spec(wb1)],
-        [spec1] * 5, 5, 3, wb1, (xbm, tcol, slab))
+        [spec1] * 5, 5, 3, wb1, (xbm, tcol, slab), kb1)
 
-    spec2 = _specs(k, n, kb, 256)
+    spec2 = _specs(k, n, kb2, 256)
     nd, nb = run(_assemble_fwd_kernel, [spec2] * 3, [spec2] * 2, 2, 6, 256,
-                 (hr, pds, obs))
+                 (hr, pds, obs), kb2)
 
-    spec3 = _specs(k, n, kb, 256, reverse=True)
+    spec3 = _specs(k, n, kb1, 256, reverse=True)
     a0, b0, c0, d0 = run(_subst_kernel, [spec3] * 6, [spec3] * 4, 4, 1, 256,
-                         (nd, nb, hr, sph, xs, obs))
+                         (nd, nb, hr, sph, xs, obs), kb1)
 
     wb4 = 128
-    spec4 = _specs(k, n, kb, wb4)
-    tspec4 = _specs(k, n, kb, wb4, t=True)
-    grid4 = (n // wb4, k // kb)
+    spec4 = _specs(k, n, kb1, wb4)
+    tspec4 = _specs(k, n, kb1, wb4, t=True)
+    grid4 = (n // wb4, k // kb1)
     bmshape = jax.ShapeDtypeStruct((n, k), dt)
     a, b, c, d = pl.pallas_call(
         partial(_rebase_kernel, transpose_out=True),
@@ -513,7 +527,7 @@ def _fit_2d_bm(xbm, tcol, slab, version, interpret=False):
     return a, b, c, d
 
 
-def masked_natural_cubic_full(t, x, version, interpret=False):
+def masked_natural_cubic_full(t, x, version, interpret=False, kb=None):
     """Whole NaN-masked natural-cubic fit from raw values, batch-major I/O.
 
     Unlike ``masked_natural_cubic_pallas`` (which takes post-imputation
@@ -557,7 +571,7 @@ def masked_natural_cubic_full(t, x, version, interpret=False):
         jnp.zeros_like(ones), jnp.zeros_like(ones),
     ])
 
-    kpad = (-k) % _KB
+    kpad = (-k) % (kb or _KB)
     npad = (-n) % 256
     if kpad or npad:
         # NaN-padded rows/columns stay unobserved pass-throughs in every
@@ -571,7 +585,7 @@ def masked_natural_cubic_full(t, x, version, interpret=False):
         t = jnp.concatenate([t, extra])
     tcol = t.reshape(-1, 1)
 
-    a, b, c, d = _fit_2d_bm(x2, tcol, slab, version, interpret=interpret)
+    a, b, c, d = _fit_2d_bm(x2, tcol, slab, version, interpret=interpret, kb=kb)
     out = []
     for arr in (a, b, c, d):
         arr = arr[:n, :k] if (kpad or npad) else arr
@@ -579,7 +593,7 @@ def masked_natural_cubic_full(t, x, version, interpret=False):
     return tuple(out)
 
 
-def masked_natural_cubic_pallas(t, x, interpret=False):
+def masked_natural_cubic_pallas(t, x, interpret=False, kb=None):
     """Fused masked natural-cubic fit (TPU streaming kernels).
 
     t: (length,) strictly increasing times; x: (..., length) post-imputation
@@ -598,7 +612,7 @@ def masked_natural_cubic_pallas(t, x, interpret=False):
     xs2 = jnp.where(obs2 > 0.5, x2, jnp.zeros_like(x2))
 
     t = jnp.asarray(t, x2.dtype)
-    kpad = (-k) % _KB
+    kpad = (-k) % (kb or _KB)
     npad = (-n) % 256
     if kpad or npad:
         xs2 = jnp.pad(xs2, ((0, kpad), (0, npad)))
@@ -610,7 +624,7 @@ def masked_natural_cubic_pallas(t, x, interpret=False):
         t = jnp.concatenate([t, extra])
     tcol = t.reshape(-1, 1)
 
-    a, b, c, d = _fit_2d(xs2, tcol, obs2, interpret=interpret)
+    a, b, c, d = _fit_2d(xs2, tcol, obs2, interpret=interpret, kb=kb)
     out = []
     for arr in (a, b, c, d):
         arr = arr[:k, :n] if (kpad or npad) else arr
