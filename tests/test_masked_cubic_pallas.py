@@ -182,3 +182,25 @@ def test_full_matches_dispatching_entry():
             np.testing.assert_allclose(
                 g, np.asarray(r), rtol=2e-4, atol=2e-4,
                 err_msg=f"v{version} {name}")
+
+
+def test_full_subblock_fold_matches_whole_block():
+    # The TPU default runs K1/K2's prefix scans over 8-row slices with
+    # in-kernel carry folds; interpret tests otherwise take the single-slice
+    # shortcut, so pin the fold chaining explicitly against the whole-block
+    # scan at a block size small enough for interpret mode.
+    L = 120
+    x = rng.standard_normal((4, L)).astype(np.float32)
+    x[rng.random(x.shape) < 0.3] = np.nan
+    x[:, L // 2] = rng.standard_normal(4)
+    t = np.cumsum(0.5 + rng.random(L)).astype(np.float32)
+    for version in (0, 1):
+        ref = masked_natural_cubic_full(
+            jnp.asarray(t), jnp.asarray(x), version, interpret=True, kb=32)
+        got = masked_natural_cubic_full(
+            jnp.asarray(t), jnp.asarray(x), version, interpret=True, kb=32,
+            sub=8)
+        for name, r, g in zip(("a", "b", "two_c", "three_d"), ref, got):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(r), rtol=2e-4, atol=2e-4,
+                err_msg=f"v{version} {name}")

@@ -114,6 +114,19 @@ def test_masked_streaming_kernel_matches_scan(shape):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=3e-4, atol=3e-5)
 
 
+def test_masked_streaming_kernel_subblock_fold():
+    # The TPU default runs the prefix scans over 8-row slices with in-kernel
+    # carry folds; interpret tests otherwise take the single-slice shortcut,
+    # so pin the fold chaining explicitly against the whole-block scan.
+    from torchcde_tpu.ops.masked_tridiagonal_pallas import masked_thomas_pallas
+
+    d, r, h, hp, o = _gappy_system(2, 300, 0.3)
+    ref = masked_thomas_pallas(d, r, h, hp, o, interpret=True)
+    got = masked_thomas_pallas(d, r, h, hp, o, interpret=True, sub=8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=3e-4, atol=3e-5)
+
+
 def test_masked_solve_custom_vjp_matches_scan_ad():
     # The analytic VJP (transpose solve + neighbour fills) must equal
     # differentiating through the masked Thomas lax.scan for every CONSISTENT

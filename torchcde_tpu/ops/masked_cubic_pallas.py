@@ -46,9 +46,11 @@ from jax.experimental.pallas import tpu as pltpu
 # see benchmarks/profile_fit_stages.py).  K1's batch-major input block is
 # (wb, kb) with kb on the LANE axis, so it is pinned to multiples of 128;
 # the length-major kernels only need sublane multiples of 8.  The length
-# padding unit _KB must be a common multiple of all four.
+# padding unit _KB must be a common multiple of all four.  The hot scans in
+# K2 additionally run over _SUB_ASSEMBLE-row slices inside the block (see
+# below), so its block stays at the DMA-friendly 128.
 _KB = 128
-_KB_ASSEMBLE = 32
+_KB_ASSEMBLE = 128
 
 
 def _rows(kb, wb):
@@ -94,10 +96,13 @@ def _shift_before(v, carry, kb, wb):
 # --------------------------------------------------------------------------
 
 
-def _prep_body(x, t, obsf, hr_ref, pds_ref, sph_ref, cx, ct, cf):
+def _prep_body(x, t, obsf, hr_ref, pds_ref, sph_ref, cx, ct, cf, sub=None):
     """Shared K1 math: next-observed fill + interval quantities, given the
-    in-VMEM (kb, wb) observed-values block, times and float mask."""
+    in-VMEM (kb, wb) observed-values block, times and float mask.  The scans
+    run over (sub, wb) slices back-to-front with local carry folds (see
+    _SUB_ASSEMBLE's rationale)."""
     kb, wb = x.shape
+    sub = min(sub or _SUB_PREP, kb)
 
     @pl.when(pl.program_id(1) == 0)
     def _init():
@@ -105,38 +110,51 @@ def _prep_body(x, t, obsf, hr_ref, pds_ref, sph_ref, cx, ct, cf):
         ct[:, :] = jnp.zeros((1, wb), x.dtype)
         cf[:, :] = jnp.zeros((1, wb), x.dtype)
 
-    (xin, tin), flin = _fill_block([x, t], obsf, reverse=True)
-    xin = jnp.where(flin > 0.5, xin, cx[:, :])
-    tin = jnp.where(flin > 0.5, tin, ct[:, :])
-    ftot = jnp.maximum(flin, cf[:, :])
+    cxv, ctv, cfv = cx[:, :], ct[:, :], cf[:, :]
+    for j in reversed(range(kb // sub)):
+        sl = pl.ds(j * sub, sub)
+        xj = x[j * sub : (j + 1) * sub, :]
+        tj = t[j * sub : (j + 1) * sub, :]
+        oj = obsf[j * sub : (j + 1) * sub, :]
 
-    xn = _shift_after(xin, cx[:, :], kb, wb)
-    tn = _shift_after(tin, ct[:, :], kb, wb)
-    f_after = _shift_after(ftot, cf[:, :], kb, wb)
+        (xin, tin), flin = _fill_block([xj, tj], oj, reverse=True)
+        xin = jnp.where(flin > 0.5, xin, cxv)
+        tin = jnp.where(flin > 0.5, tin, ctv)
+        ftot = jnp.maximum(flin, cfv)
 
-    has_next = (obsf > 0.5) & (f_after > 0.5)
-    h = tn - t
-    hr = jnp.where(has_next, 1.0 / jnp.where(has_next, h, jnp.ones_like(h)), 0.0)
-    sph = 6.0 * (xn - x) * hr
-    pds = 0.5 * sph * hr
+        xn = _shift_after(xin, cxv, sub, wb)
+        tn = _shift_after(tin, ctv, sub, wb)
+        f_after = _shift_after(ftot, cfv, sub, wb)
 
-    hr_ref[:, :] = hr
-    pds_ref[:, :] = pds
-    sph_ref[:, :] = sph
-    cx[:, :] = xin[:1, :]
-    ct[:, :] = tin[:1, :]
-    cf[:, :] = ftot[:1, :]
+        has_next = (oj > 0.5) & (f_after > 0.5)
+        h = tn - tj
+        hr = jnp.where(has_next,
+                       1.0 / jnp.where(has_next, h, jnp.ones_like(h)), 0.0)
+        sph = 6.0 * (xn - xj) * hr
+        pds = 0.5 * sph * hr
+
+        hr_ref[sl, :] = hr
+        pds_ref[sl, :] = pds
+        sph_ref[sl, :] = sph
+        cxv = xin[:1, :]
+        ctv = tin[:1, :]
+        cfv = ftot[:1, :]
+
+    cx[:, :] = cxv
+    ct[:, :] = ctv
+    cf[:, :] = cfv
 
 
-def _prep_kernel(x_ref, t_ref, obs_ref, hr_ref, pds_ref, sph_ref, cx, ct, cf):
+def _prep_kernel(x_ref, t_ref, obs_ref, hr_ref, pds_ref, sph_ref, cx, ct, cf,
+                 sub=None):
     kb, wb = x_ref.shape
     t = jnp.broadcast_to(t_ref[:, :], (kb, wb))
     _prep_body(x_ref[:, :], t, obs_ref[:, :], hr_ref, pds_ref, sph_ref,
-               cx, ct, cf)
+               cx, ct, cf, sub=sub)
 
 
 def _prep_kernel_bm(x_ref, t_ref, sc_ref, hr_ref, pds_ref, sph_ref,
-                    xs_ref, obs_ref, cx, ct, cf, *, version):
+                    xs_ref, obs_ref, cx, ct, cf, *, version, sub=None):
     """K1 over a batch-major raw-values block: in-kernel layout transpose,
     NaN masking and endpoint imputation (interpolation_cubic.py:101-131),
     then the shared interval math.  Also emits the length-major xs / obs
@@ -171,7 +189,7 @@ def _prep_kernel_bm(x_ref, t_ref, sc_ref, hr_ref, pds_ref, sph_ref,
 
     xs_ref[:, :] = xs
     obs_ref[:, :] = obsf
-    _prep_body(xs, t, obsf, hr_ref, pds_ref, sph_ref, cx, ct, cf)
+    _prep_body(xs, t, obsf, hr_ref, pds_ref, sph_ref, cx, ct, cf, sub=sub)
 
 
 # --------------------------------------------------------------------------
@@ -196,9 +214,20 @@ def _rescale2(m00, m01, m10, m11):
     return m00 * s, m01 * s, m10 * s, m11 * s
 
 
+# In-kernel scan granularity: each Hillis-Steele level is a full-array
+# roll+select, so running the prefix scans over (sub, wb) slices with local
+# (1, wb) carry folds between them does log2(sub) levels of 1/(kb/sub)-size
+# work instead of log2(kb) full-size levels — the same carry chaining the
+# grid already does across blocks, moved inside the block where it costs no
+# DMA or grid overhead.  8 is the f32 sublane tile, the natural floor.
+_SUB_ASSEMBLE = 8
+_SUB_PREP = 8
+
+
 def _assemble_fwd_kernel(hr_ref, pds_ref, obs_ref, nd_ref, nb_ref,
-                         chf, cpf, cff, cp_ref, cq_ref, cb_ref):
+                         chf, cpf, cff, cp_ref, cq_ref, cb_ref, sub=None):
     kb, wb = hr_ref.shape
+    sub = min(sub or _SUB_ASSEMBLE, kb)
 
     @pl.when(pl.program_id(1) == 0)
     def _init():
@@ -209,78 +238,88 @@ def _assemble_fwd_kernel(hr_ref, pds_ref, obs_ref, nd_ref, nb_ref,
         cq_ref[:, :] = jnp.ones((1, wb), hr_ref.dtype)
         cb_ref[:, :] = jnp.zeros((1, wb), hr_ref.dtype)
 
-    hr = hr_ref[:, :]
-    pds = pds_ref[:, :]
-    obsf = obs_ref[:, :]
-    obs = obsf > 0.5
+    ch, cpd, cf = chf[:, :], cpf[:, :], cff[:, :]
+    cp, cq, cb = cp_ref[:, :], cq_ref[:, :], cb_ref[:, :]
+    rows = _rows(sub, wb)
 
-    (hrin, pdin), flin = _fill_block([hr, pds], obsf, reverse=False)
-    hrin = jnp.where(flin > 0.5, hrin, chf[:, :])
-    pdin = jnp.where(flin > 0.5, pdin, cpf[:, :])
-    ftot = jnp.maximum(flin, cff[:, :])
+    for j in range(kb // sub):
+        sl = pl.ds(j * sub, sub)
+        hr = hr_ref[sl, :]
+        pds = pds_ref[sl, :]
+        obsf = obs_ref[sl, :]
+        obs = obsf > 0.5
 
-    hp = _shift_before(hrin, chf[:, :], kb, wb)
-    pds_prev = _shift_before(pdin, cpf[:, :], kb, wb)
+        (hrin, pdin), flin = _fill_block([hr, pds], obsf, reverse=False)
+        hrin = jnp.where(flin > 0.5, hrin, ch)
+        pdin = jnp.where(flin > 0.5, pdin, cpd)
+        ftot = jnp.maximum(flin, cf)
 
-    d = 2.0 * (hp + hr)
-    d = jnp.where(obs & (d > 0), d, jnp.ones_like(d))
-    r = pds_prev + pds
+        hp = _shift_before(hrin, ch, sub, wb)
+        pds_prev = _shift_before(pdin, cpd, sub, wb)
 
-    # --- nd via 2x2 Mobius prefix products (masked_tridiagonal_pallas) -----
-    c = hp * hp
-    m00 = jnp.where(obs, d, 1.0)
-    m01 = jnp.where(obs, -c, 0.0)
-    m10 = jnp.where(obs, jnp.ones_like(d), 0.0)
-    m11 = jnp.where(obs, jnp.zeros_like(d), 1.0)
+        d = 2.0 * (hp + hr)
+        d = jnp.where(obs & (d > 0), d, jnp.ones_like(d))
+        r = pds_prev + pds
 
-    rows = _rows(kb, wb)
-    s = 1
-    while s < kb:
-        keep = rows >= s
-        b00 = jnp.where(keep, pltpu.roll(m00, s, axis=0), 1.0)
-        b01 = jnp.where(keep, pltpu.roll(m01, s, axis=0), 0.0)
-        b10 = jnp.where(keep, pltpu.roll(m10, s, axis=0), 0.0)
-        b11 = jnp.where(keep, pltpu.roll(m11, s, axis=0), 1.0)
-        m00, m01, m10, m11 = _matmul2(m00, m01, m10, m11, b00, b01, b10, b11)
-        m00, m01, m10, m11 = _rescale2(m00, m01, m10, m11)
-        s *= 2
+        # --- nd via 2x2 Mobius prefix products (masked_tridiagonal_pallas) -
+        c = hp * hp
+        m00 = jnp.where(obs, d, 1.0)
+        m01 = jnp.where(obs, -c, 0.0)
+        m10 = jnp.where(obs, jnp.ones_like(d), 0.0)
+        m11 = jnp.where(obs, jnp.zeros_like(d), 1.0)
 
-    cp = cp_ref[:, :]
-    cq = cq_ref[:, :]
-    p = m00 * cp + m01 * cq
-    q = m10 * cp + m11 * cq
-    scale = 1.0 / jnp.maximum(jnp.maximum(jnp.abs(p), jnp.abs(q)), 1e-30)
-    p = p * scale
-    q = q * scale
-    nd = p / jnp.where(q == 0, 1e-30, q)
+        s = 1
+        while s < sub:
+            keep = rows >= s
+            b00 = jnp.where(keep, pltpu.roll(m00, s, axis=0), 1.0)
+            b01 = jnp.where(keep, pltpu.roll(m01, s, axis=0), 0.0)
+            b10 = jnp.where(keep, pltpu.roll(m10, s, axis=0), 0.0)
+            b11 = jnp.where(keep, pltpu.roll(m11, s, axis=0), 1.0)
+            m00, m01, m10, m11 = _matmul2(m00, m01, m10, m11, b00, b01, b10, b11)
+            m00, m01, m10, m11 = _rescale2(m00, m01, m10, m11)
+            s *= 2
 
-    first = rows < 1
-    p_prev = jnp.where(first, cp, pltpu.roll(p, 1, axis=0))
-    q_prev = jnp.where(first, cq, pltpu.roll(q, 1, axis=0))
-    nd_prev = p_prev / jnp.where(q_prev == 0, 1e-30, q_prev)
+        p = m00 * cp + m01 * cq
+        q = m10 * cp + m11 * cq
+        scale = 1.0 / jnp.maximum(jnp.maximum(jnp.abs(p), jnp.abs(q)), 1e-30)
+        p = p * scale
+        q = q * scale
+        nd = p / jnp.where(q == 0, 1e-30, q)
 
-    # --- nb via affine prefix ---------------------------------------------
-    A = jnp.where(obs, r, 0.0)
-    B = jnp.where(obs, -hp / jnp.where(nd_prev == 0, 1e-30, nd_prev),
-                  jnp.ones_like(d))
-    s = 1
-    while s < kb:
-        keep = rows >= s
-        A_sh = jnp.where(keep, pltpu.roll(A, s, axis=0), 0.0)
-        B_sh = jnp.where(keep, pltpu.roll(B, s, axis=0), 1.0)
-        A, B = A + B * A_sh, B * B_sh
-        s *= 2
-    nb = A + B * cb_ref[:, :]
+        first = rows < 1
+        p_prev = jnp.where(first, cp, pltpu.roll(p, 1, axis=0))
+        q_prev = jnp.where(first, cq, pltpu.roll(q, 1, axis=0))
+        nd_prev = p_prev / jnp.where(q_prev == 0, 1e-30, q_prev)
 
-    nd_ref[:, :] = jnp.where(obs, nd, 1.0)
-    nb_ref[:, :] = jnp.where(obs, nb, 0.0)
+        # --- nb via affine prefix -------------------------------------------
+        A = jnp.where(obs, r, 0.0)
+        B = jnp.where(obs, -hp / jnp.where(nd_prev == 0, 1e-30, nd_prev),
+                      jnp.ones_like(d))
+        s = 1
+        while s < sub:
+            keep = rows >= s
+            A_sh = jnp.where(keep, pltpu.roll(A, s, axis=0), 0.0)
+            B_sh = jnp.where(keep, pltpu.roll(B, s, axis=0), 1.0)
+            A, B = A + B * A_sh, B * B_sh
+            s *= 2
+        nb = A + B * cb
 
-    chf[:, :] = hrin[kb - 1 :, :]
-    cpf[:, :] = pdin[kb - 1 :, :]
-    cff[:, :] = ftot[kb - 1 :, :]
-    cp_ref[:, :] = p[kb - 1 :, :]
-    cq_ref[:, :] = q[kb - 1 :, :]
-    cb_ref[:, :] = nb[kb - 1 :, :]
+        nd_ref[sl, :] = jnp.where(obs, nd, 1.0)
+        nb_ref[sl, :] = jnp.where(obs, nb, 0.0)
+
+        ch = hrin[sub - 1 :, :]
+        cpd = pdin[sub - 1 :, :]
+        cf = ftot[sub - 1 :, :]
+        cp = p[sub - 1 :, :]
+        cq = q[sub - 1 :, :]
+        cb = nb[sub - 1 :, :]
+
+    chf[:, :] = ch
+    cpf[:, :] = cpd
+    cff[:, :] = cf
+    cp_ref[:, :] = cp
+    cq_ref[:, :] = cq
+    cb_ref[:, :] = cb
 
 
 # --------------------------------------------------------------------------
@@ -413,8 +452,8 @@ def _specs(k, n, kb, wb, t=False, reverse=False):
     return pl.BlockSpec((kb, wb), lambda w, kk: (kk, w), memory_space=pltpu.VMEM)
 
 
-@partial(jax.jit, static_argnames=("interpret", "kb"))
-def _fit_2d(xs, tcol, obs, interpret=False, kb=None):
+@partial(jax.jit, static_argnames=("interpret", "kb", "sub"))
+def _fit_2d(xs, tcol, obs, interpret=False, kb=None, sub=None):
     """Fused masked fit on length-major (k, n) arrays; k % kb == 0.
 
     xs: observed values (zeros at missing); tcol: (k, 1) times; obs: float
@@ -423,6 +462,11 @@ def _fit_2d(xs, tcol, obs, interpret=False, kb=None):
     k, n = xs.shape
     kb1 = kb or _KB
     kb2 = kb or _KB_ASSEMBLE
+    if sub is None and interpret:
+        # One in-kernel slice: interpret-mode op count stays sane.
+        sub1, sub2 = kb1, kb2
+    else:
+        sub1 = sub2 = sub
     dt = xs.dtype
 
     def run(kernel, n_out, n_carry, wb, reverse, args, kbr):
@@ -442,8 +486,10 @@ def _fit_2d(xs, tcol, obs, interpret=False, kb=None):
             interpret=interpret,
         )(*args)
 
-    hr, pds, sph = run(_prep_kernel, 3, 3, 256, True, (xs, tcol, obs), kb1)
-    nd, nb = run(_assemble_fwd_kernel, 2, 6, 256, False, (hr, pds, obs), kb2)
+    hr, pds, sph = run(partial(_prep_kernel, sub=sub1), 3, 3, 256, True,
+                       (xs, tcol, obs), kb1)
+    nd, nb = run(partial(_assemble_fwd_kernel, sub=sub2), 2, 6, 256, False,
+                 (hr, pds, obs), kb2)
     a0, b0, c0, d0 = run(_subst_kernel, 4, 1, 256, True,
                          (nd, nb, hr, sph, xs, obs), kb1)
     a, b, c, d = run(_rebase_kernel, 4, 6, 128, False,
@@ -451,8 +497,8 @@ def _fit_2d(xs, tcol, obs, interpret=False, kb=None):
     return a, b, c, d
 
 
-@partial(jax.jit, static_argnames=("version", "interpret", "kb"))
-def _fit_2d_bm(xbm, tcol, slab, version, interpret=False, kb=None):
+@partial(jax.jit, static_argnames=("version", "interpret", "kb", "sub"))
+def _fit_2d_bm(xbm, tcol, slab, version, interpret=False, kb=None, sub=None):
     """Fused masked fit from a batch-major (n, k) raw-values array (NaNs
     intact, pre-imputation); k % kb == 0, n % 256 == 0.
 
@@ -463,6 +509,11 @@ def _fit_2d_bm(xbm, tcol, slab, version, interpret=False, kb=None):
     n, k = xbm.shape
     kb1 = kb or _KB
     kb2 = kb or _KB_ASSEMBLE
+    if sub is None and interpret:
+        # One in-kernel slice: interpret-mode op count stays sane.
+        sub1, sub2 = kb1, kb2
+    else:
+        sub1 = sub2 = sub
     dt = xbm.dtype
 
     def run(kernel, in_specs, out_specs, n_out, n_carry, wb, args, kbr):
@@ -497,14 +548,14 @@ def _fit_2d_bm(xbm, tcol, slab, version, interpret=False, kb=None):
     wb1 = 256
     spec1 = _specs(k, n, kb1, wb1, reverse=True)
     hr, pds, sph, xs, obs = run(
-        partial(_prep_kernel_bm, version=version),
+        partial(_prep_kernel_bm, version=version, sub=sub1),
         [bm_spec(wb1, reverse=True), _specs(k, n, kb1, wb1, t=True, reverse=True),
          slab_spec(wb1)],
         [spec1] * 5, 5, 3, wb1, (xbm, tcol, slab), kb1)
 
     spec2 = _specs(k, n, kb2, 256)
-    nd, nb = run(_assemble_fwd_kernel, [spec2] * 3, [spec2] * 2, 2, 6, 256,
-                 (hr, pds, obs), kb2)
+    nd, nb = run(partial(_assemble_fwd_kernel, sub=sub2), [spec2] * 3,
+                 [spec2] * 2, 2, 6, 256, (hr, pds, obs), kb2)
 
     spec3 = _specs(k, n, kb1, 256, reverse=True)
     a0, b0, c0, d0 = run(_subst_kernel, [spec3] * 6, [spec3] * 4, 4, 1, 256,
@@ -527,7 +578,8 @@ def _fit_2d_bm(xbm, tcol, slab, version, interpret=False, kb=None):
     return a, b, c, d
 
 
-def masked_natural_cubic_full(t, x, version, interpret=False, kb=None):
+def masked_natural_cubic_full(t, x, version, interpret=False, kb=None,
+                              sub=None):
     """Whole NaN-masked natural-cubic fit from raw values, batch-major I/O.
 
     Unlike ``masked_natural_cubic_pallas`` (which takes post-imputation
@@ -585,7 +637,8 @@ def masked_natural_cubic_full(t, x, version, interpret=False, kb=None):
         t = jnp.concatenate([t, extra])
     tcol = t.reshape(-1, 1)
 
-    a, b, c, d = _fit_2d_bm(x2, tcol, slab, version, interpret=interpret, kb=kb)
+    a, b, c, d = _fit_2d_bm(x2, tcol, slab, version, interpret=interpret,
+                            kb=kb, sub=sub)
     out = []
     for arr in (a, b, c, d):
         arr = arr[:n, :k] if (kpad or npad) else arr
@@ -593,7 +646,7 @@ def masked_natural_cubic_full(t, x, version, interpret=False, kb=None):
     return tuple(out)
 
 
-def masked_natural_cubic_pallas(t, x, interpret=False, kb=None):
+def masked_natural_cubic_pallas(t, x, interpret=False, kb=None, sub=None):
     """Fused masked natural-cubic fit (TPU streaming kernels).
 
     t: (length,) strictly increasing times; x: (..., length) post-imputation
@@ -624,7 +677,7 @@ def masked_natural_cubic_pallas(t, x, interpret=False, kb=None):
         t = jnp.concatenate([t, extra])
     tcol = t.reshape(-1, 1)
 
-    a, b, c, d = _fit_2d(xs2, tcol, obs2, interpret=interpret, kb=kb)
+    a, b, c, d = _fit_2d(xs2, tcol, obs2, interpret=interpret, kb=kb, sub=sub)
     out = []
     for arr in (a, b, c, d):
         arr = arr[:k, :n] if (kpad or npad) else arr

@@ -34,8 +34,14 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_KB = 512  # rows per block (length axis)
+_KB = 128  # rows per block (length axis); batch-major I/O pins it to 128s
 _WB = 256  # lanes per block (batch axis)
+# In-kernel scan granularity (see masked_cubic_pallas._SUB_ASSEMBLE): each
+# Hillis-Steele level costs a full-array roll+select, so the prefix scans run
+# over (sub, wb) slices with local (1, wb) carry folds — log2(sub) levels of
+# slice-sized work instead of log2(kb) block-sized levels, with no extra DMA
+# or grid steps.  8 is the f32 sublane tile.
+_SUB = 8
 
 
 def _identity_mask(shape, s):
@@ -61,11 +67,12 @@ def _rescale2(m00, m01, m10, m11):
 
 
 def _fwd_kernel(d_ref, r_ref, hp_ref, obs_ref, nd_ref, nb_ref, cp_ref, cq_ref,
-                cb_ref):
+                cb_ref, sub=None):
     # Boundary inputs arrive batch-major (the caller's layout) and are
     # transposed on the VMEM block; the (nd, nb) intermediates handed to the
     # backward kernel stay length-major.
     wb, kb = d_ref.shape
+    sub = min(sub or _SUB, kb)
     k_idx = pl.program_id(1)
 
     @pl.when(k_idx == 0)
@@ -74,64 +81,75 @@ def _fwd_kernel(d_ref, r_ref, hp_ref, obs_ref, nd_ref, nb_ref, cp_ref, cq_ref,
         cq_ref[:, :] = jnp.ones((1, wb), d_ref.dtype)
         cb_ref[:, :] = jnp.zeros((1, wb), d_ref.dtype)
 
-    d = d_ref[:, :].T
-    r = r_ref[:, :].T
-    hp = hp_ref[:, :].T
-    obs = obs_ref[:, :].T > 0.5
+    d_all = d_ref[:, :].T
+    r_all = r_ref[:, :].T
+    hp_all = hp_ref[:, :].T
+    obs_all = obs_ref[:, :].T > 0.5
 
-    # --- nd via 2x2 prefix products ------------------------------------
-    c = hp * hp
-    m00 = jnp.where(obs, d, 1.0)
-    m01 = jnp.where(obs, -c, 0.0)
-    m10 = jnp.where(obs, jnp.ones_like(d), 0.0)
-    m11 = jnp.where(obs, jnp.zeros_like(d), 1.0)
+    cp, cq, cb = cp_ref[:, :], cq_ref[:, :], cb_ref[:, :]
+    for j in range(kb // sub):
+        sl = pl.ds(j * sub, sub)
+        d = d_all[j * sub : (j + 1) * sub, :]
+        r = r_all[j * sub : (j + 1) * sub, :]
+        hp = hp_all[j * sub : (j + 1) * sub, :]
+        obs = obs_all[j * sub : (j + 1) * sub, :]
 
-    s = 1
-    while s < kb:
-        keep = _identity_mask((kb, wb), s)
-        b00 = jnp.where(keep, pltpu.roll(m00, s, axis=0), 1.0)
-        b01 = jnp.where(keep, pltpu.roll(m01, s, axis=0), 0.0)
-        b10 = jnp.where(keep, pltpu.roll(m10, s, axis=0), 0.0)
-        b11 = jnp.where(keep, pltpu.roll(m11, s, axis=0), 1.0)
-        m00, m01, m10, m11 = _matmul2(m00, m01, m10, m11, b00, b01, b10, b11)
-        m00, m01, m10, m11 = _rescale2(m00, m01, m10, m11)
-        s *= 2
+        # --- nd via 2x2 prefix products ----------------------------------
+        c = hp * hp
+        m00 = jnp.where(obs, d, 1.0)
+        m01 = jnp.where(obs, -c, 0.0)
+        m10 = jnp.where(obs, jnp.ones_like(d), 0.0)
+        m11 = jnp.where(obs, jnp.zeros_like(d), 1.0)
 
-    cp = cp_ref[:, :]
-    cq = cq_ref[:, :]
-    p = m00 * cp + m01 * cq
-    q = m10 * cp + m11 * cq
-    scale = 1.0 / jnp.maximum(jnp.maximum(jnp.abs(p), jnp.abs(q)), 1e-30)
-    p = p * scale
-    q = q * scale
-    q_safe = jnp.where(q == 0, 1e-30, q)
-    nd = p / q_safe
+        s = 1
+        while s < sub:
+            keep = _identity_mask((sub, wb), s)
+            b00 = jnp.where(keep, pltpu.roll(m00, s, axis=0), 1.0)
+            b01 = jnp.where(keep, pltpu.roll(m01, s, axis=0), 0.0)
+            b10 = jnp.where(keep, pltpu.roll(m10, s, axis=0), 0.0)
+            b11 = jnp.where(keep, pltpu.roll(m11, s, axis=0), 1.0)
+            m00, m01, m10, m11 = _matmul2(m00, m01, m10, m11,
+                                          b00, b01, b10, b11)
+            m00, m01, m10, m11 = _rescale2(m00, m01, m10, m11)
+            s *= 2
 
-    # nd_{i-1} per row: shifted (p, q), first row from the carry.
-    first = ~_identity_mask((kb, wb), 1)
-    p_prev = jnp.where(first, cp, pltpu.roll(p, 1, axis=0))
-    q_prev = jnp.where(first, cq, pltpu.roll(q, 1, axis=0))
-    nd_prev = p_prev / jnp.where(q_prev == 0, 1e-30, q_prev)
+        p = m00 * cp + m01 * cq
+        q = m10 * cp + m11 * cq
+        scale = 1.0 / jnp.maximum(jnp.maximum(jnp.abs(p), jnp.abs(q)), 1e-30)
+        p = p * scale
+        q = q * scale
+        q_safe = jnp.where(q == 0, 1e-30, q)
+        nd = p / q_safe
 
-    # --- nb via affine prefix ------------------------------------------
-    A = jnp.where(obs, r, 0.0)
-    B = jnp.where(obs, -hp / jnp.where(nd_prev == 0, 1e-30, nd_prev),
-                  jnp.ones_like(d))
-    s = 1
-    while s < kb:
-        keep = _identity_mask((kb, wb), s)
-        A_sh = jnp.where(keep, pltpu.roll(A, s, axis=0), 0.0)
-        B_sh = jnp.where(keep, pltpu.roll(B, s, axis=0), 1.0)
-        A, B = A + B * A_sh, B * B_sh
-        s *= 2
-    nb = A + B * cb_ref[:, :]
+        # nd_{i-1} per row: shifted (p, q), first row from the carry.
+        first = ~_identity_mask((sub, wb), 1)
+        p_prev = jnp.where(first, cp, pltpu.roll(p, 1, axis=0))
+        q_prev = jnp.where(first, cq, pltpu.roll(q, 1, axis=0))
+        nd_prev = p_prev / jnp.where(q_prev == 0, 1e-30, q_prev)
 
-    nd_ref[:, :] = jnp.where(obs, nd, 1.0)
-    nb_ref[:, :] = jnp.where(obs, nb, 0.0)
+        # --- nb via affine prefix ----------------------------------------
+        A = jnp.where(obs, r, 0.0)
+        B = jnp.where(obs, -hp / jnp.where(nd_prev == 0, 1e-30, nd_prev),
+                      jnp.ones_like(d))
+        s = 1
+        while s < sub:
+            keep = _identity_mask((sub, wb), s)
+            A_sh = jnp.where(keep, pltpu.roll(A, s, axis=0), 0.0)
+            B_sh = jnp.where(keep, pltpu.roll(B, s, axis=0), 1.0)
+            A, B = A + B * A_sh, B * B_sh
+            s *= 2
+        nb = A + B * cb
 
-    cp_ref[:, :] = p[kb - 1 :, :]
-    cq_ref[:, :] = q[kb - 1 :, :]
-    cb_ref[:, :] = nb[kb - 1 :, :]
+        nd_ref[sl, :] = jnp.where(obs, nd, 1.0)
+        nb_ref[sl, :] = jnp.where(obs, nb, 0.0)
+
+        cp = p[sub - 1 :, :]
+        cq = q[sub - 1 :, :]
+        cb = nb[sub - 1 :, :]
+
+    cp_ref[:, :] = cp
+    cq_ref[:, :] = cq
+    cb_ref[:, :] = cb
 
 
 def _bwd_kernel(nd_ref, nb_ref, h_ref, obs_ref, x_ref, cx_ref):
@@ -168,11 +186,14 @@ def _bwd_kernel(nd_ref, nb_ref, h_ref, obs_ref, x_ref, cx_ref):
     cx_ref[:, :] = x[:1, :]
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def _masked_solve_2d(d, r, hp, h, obs, interpret=False):
+@partial(jax.jit, static_argnames=("interpret", "sub"))
+def _masked_solve_2d(d, r, hp, h, obs, interpret=False, sub=None):
     """Solve on batch-major (n, k) arrays; k % _KB == 0, n % _WB == 0.
     The (nd, nb) intermediate between the two kernels stays length-major."""
     n, k = d.shape
+    if sub is None and interpret:
+        # One in-kernel slice under interpret: op count stays sane on CPU.
+        sub = _KB
     grid = (n // _WB, k // _KB)
     spec = pl.BlockSpec((_KB, _WB), lambda w, kk: (kk, w), memory_space=pltpu.VMEM)
     bmspec = pl.BlockSpec((_WB, _KB), lambda w, kk: (w, kk),
@@ -180,7 +201,7 @@ def _masked_solve_2d(d, r, hp, h, obs, interpret=False):
     carry = pltpu.VMEM((1, _WB), d.dtype)
 
     nd, nb = pl.pallas_call(
-        _fwd_kernel,
+        partial(_fwd_kernel, sub=sub),
         out_shape=(
             jax.ShapeDtypeStruct((k, n), d.dtype),
             jax.ShapeDtypeStruct((k, n), d.dtype),
@@ -213,7 +234,8 @@ def _masked_solve_2d(d, r, hp, h, obs, interpret=False):
     return x
 
 
-def masked_thomas_pallas(diag, rhs, hr, hr_prev, observed, interpret=False):
+def masked_thomas_pallas(diag, rhs, hr, hr_prev, observed, interpret=False,
+                         sub=None):
     """Drop-in for interpolation.cubic._masked_thomas_observed on TPU.
 
     All arrays (..., length); ``observed`` boolean.  Solves the reduced
@@ -243,7 +265,7 @@ def masked_thomas_pallas(diag, rhs, hr, hr_prev, observed, interpret=False):
         d2, r2, hp2, h2 = pk(d2, 1.0), pk(r2, 0.0), pk(hp2, 0.0), pk(h2, 0.0)
         o2 = jnp.pad(o2, ((0, npad), (0, kpad)), constant_values=0.0)
 
-    x = _masked_solve_2d(d2, r2, hp2, h2, o2, interpret=interpret)
+    x = _masked_solve_2d(d2, r2, hp2, h2, o2, interpret=interpret, sub=sub)
     if kpad or npad:
         x = x[:n, :k]
     return restore(x.reshape(shape))
