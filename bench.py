@@ -35,7 +35,12 @@ LENGTH = 100
 HIDDEN = 8
 WIDTH = 128
 STEP_SIZE = 1.0
-TORCH_STEPS = 5
+# Baseline stability: the torch-CPU denominator is the median of
+# TORCH_REPEATS timings of TORCH_STEPS steps each (a 5-step single run on a
+# loaded 1-core box swung the recorded multiplier 1055x vs 1852x between
+# rounds for near-identical TPU times).
+TORCH_STEPS = 20
+TORCH_REPEATS = 3
 TPU_STEPS = 30
 
 
@@ -125,10 +130,13 @@ def bench_torch_cpu(coeffs_np, y_np, n_steps):
         return float(loss)
 
     train_step()  # warmup (allocator, lazy init)
-    start = time.perf_counter()
-    for _ in range(n_steps):
-        train_step()
-    return (time.perf_counter() - start) / n_steps
+    times = []
+    for _ in range(TORCH_REPEATS):
+        start = time.perf_counter()
+        for _ in range(n_steps):
+            train_step()
+        times.append((time.perf_counter() - start) / n_steps)
+    return float(np.median(times))
 
 
 def bench_tpu(coeffs_np, y_np, n_steps):
@@ -139,9 +147,14 @@ def bench_tpu(coeffs_np, y_np, n_steps):
     from torchcde_tpu.models.neural_cde import NeuralCDEConfig, init_neural_cde
     from torchcde_tpu.models.training import make_train_step
 
+    # Mixed precision: bf16 coefficient storage + MXU operands, f32 carried
+    # state / master params / loss — the TPU-idiomatic training config (the
+    # torch-CPU baseline has no analogous mode and stays f32; see DESIGN.md
+    # "Benchmark honesty" for the bytes model this halves).
     cfg = NeuralCDEConfig(
         input_channels=3, hidden_channels=HIDDEN, output_channels=1, width=WIDTH,
         interpolation="cubic", solver="rk4", adjoint=False, step_size=STEP_SIZE,
+        compute_dtype="bfloat16",
     )
     coeffs = jnp.asarray(coeffs_np)
     y = jnp.asarray(y_np)
@@ -212,8 +225,9 @@ def main(run_all=False):
     import roofline
 
     result = {
-        "metric": f"spiral neural-CDE train step, batch {BATCH} (rk4, direct bp): "
-                  f"speedup vs torch-CPU reference impl [{platform}]",
+        "metric": f"spiral neural-CDE train step, batch {BATCH} (rk4, direct bp, "
+                  f"bf16-storage mixed precision): "
+                  f"speedup vs torch-CPU (f32) reference impl [{platform}]",
         "value": round(1000 * tpu_time, 3),
         "unit": "ms/step",
         "vs_baseline": round(speedup, 2),

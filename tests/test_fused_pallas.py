@@ -263,11 +263,12 @@ def test_non_multiple_large_batch_pads_to_full_tiles(forced_interpret):
 
 
 def test_bfloat16_operands_route_fused_and_match(forced_interpret):
-    # bf16 models get the fused kernel too: the packer upcasts bf16 operands
-    # to f32 at the boundary (the shared streaming-kernel dtype policy,
-    # ops/pallas_dispatch.py), the solve runs in f32, and results/cotangents
-    # come back bf16.  Mirrors the bf16 end-to-end contract test for the XLA
-    # path (tests/test_cdeint.py).
+    # bf16 models get the fused kernel too: the fixed-step driver keeps the
+    # coefficient slabs bf16 in HBM (the dominant stream — kernels upcast
+    # each block on load and emit bf16 slab cotangents), upcasts the
+    # carried-state operands to f32, and results/cotangents come back bf16.
+    # Mirrors the bf16 end-to-end contract test for the XLA path
+    # (tests/test_cdeint.py).
     C, L, B, H, W = 3, 6, 4, 4, 16
     coeffs, args = _setup(B, L, C, H, W)
     bf = jnp.bfloat16
@@ -278,9 +279,11 @@ def test_bfloat16_operands_route_fused_and_match(forced_interpret):
 
     field = MLPVectorField(args16[1], args16[2], args16[3], args16[4], H, C)
     p = fused_pallas._pack_operands(
-        X16._b, X16._two_c, X16._three_d, args16[0], field, L - 1)
+        X16._b, X16._two_c, X16._three_d, args16[0], field, L - 1,
+        ct_store="native")
     assert p is not None and p.out_dtype == bf
-    assert p.ct2.dtype == jnp.float32  # solves in f32 internally
+    assert p.ct2.dtype == bf       # slabs stored bf16
+    assert p.z0t.dtype == jnp.float32  # carried state solves in f32
 
     def loss(a, cf, use):
         out = _solve(a, cf, C, H, t, "rk4", 1.0, use)

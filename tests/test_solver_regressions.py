@@ -154,3 +154,23 @@ def test_nfe_fixed_step_declaration(method):
     steps = int(stats["steps_attempted"])
     assert steps == 8
     assert int(stats["nfe"]) == stepper.init_nfe + steps * stepper.nfe_per_step
+
+
+@pytest.mark.parametrize(
+    "adjoint,method,kw",
+    [(False, "rk4", {"options": {"step_size": 1.0}}),
+     (True, "rk4", {"options": {"step_size": 1.0}}),
+     (False, "dopri5", {}),
+     (False, "reversible_heun", {"backend": "torchsde", "dt": 0.5})],
+)
+def test_non_monotone_t_raises_on_every_path(adjoint, method, kw):
+    """Regression: the fixed-step fast paths plan the solve from t directly
+    and used to return a garbage row for out-of-order output times instead
+    of the adaptive drivers' eager error (integrate.py guard)."""
+    import torchcde_tpu as tc
+
+    X = tc.CubicSpline(tc.natural_cubic_coeffs(jnp.ones((2, 5, 2))))
+    with pytest.raises(ValueError, match="monotonically increasing"):
+        tc.cdeint(X=X, func=lambda t, z: jnp.zeros(z.shape + (2,)),
+                  z0=jnp.ones((2, 3)), t=jnp.asarray([0.0, 2.0, 1.0]),
+                  adjoint=adjoint, method=method, **kw)

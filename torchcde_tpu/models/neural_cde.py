@@ -46,6 +46,12 @@ class NeuralCDEConfig:
     rtol: float = 1e-4
     atol: float = 1e-6
     step_size: float = None
+    # Mixed precision: cast parameters + coefficients to this dtype (e.g.
+    # "bfloat16") for the forward/solve while master params, optimizer state
+    # and the loss stay f32.  On TPU the fused solve kernels then keep the
+    # coefficient slabs — the dominant HBM stream — in bf16 end to end
+    # (solvers/fused_pallas.py dtype policy) with f32 carried state.
+    compute_dtype: str = None
 
 
 def init_neural_cde(key, cfg: NeuralCDEConfig, dtype=jnp.float32):
@@ -92,6 +98,10 @@ def neural_cde_apply(params, cfg: NeuralCDEConfig, coeffs, t=None):
     state from the first observation, terminal solve value through a linear
     readout.
     """
+    if cfg.compute_dtype is not None:
+        cd = jnp.dtype(cfg.compute_dtype)
+        params = jax.tree_util.tree_map(lambda a: a.astype(cd), params)
+        coeffs = jax.tree_util.tree_map(lambda a: a.astype(cd), coeffs)
     X = make_control(coeffs, cfg, t)
     interval = X.interval
     X0 = X.evaluate(interval[0])

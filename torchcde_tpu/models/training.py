@@ -15,8 +15,11 @@ from .neural_cde import NeuralCDEConfig, bce_with_logits, neural_cde_apply
 
 def make_loss_fn(cfg: NeuralCDEConfig):
     def loss_fn(params, coeffs, labels):
+        # Loss math in f32 even under a bf16 compute_dtype (standard
+        # mixed-precision discipline: log1p/exp in bf16 lose the loss signal).
         logits = neural_cde_apply(params, cfg, coeffs)[..., 0]
-        return bce_with_logits(logits, labels)
+        return bce_with_logits(logits.astype(jnp.float32),
+                               labels.astype(jnp.float32))
 
     return loss_fn
 

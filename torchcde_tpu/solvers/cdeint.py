@@ -288,6 +288,15 @@ def cdeint(X, func, z0, t, adjoint=True, backend="native", **kwargs):
         t = jnp.asarray(t)
     if step_size is not None and is_concrete(step_size):
         step_size = float(step_size)
+    # Validate output-time ordering here, for EVERY path: the adaptive
+    # drivers also guard (integrate.py), but the fixed-step fast paths plan
+    # the solve from t directly and would otherwise return a garbage row for
+    # an out-of-order time instead of an error.  (Batched per-sample t is
+    # validated row-wise in _cdeint_per_sample.)
+    if jnp.ndim(t) == 1 and is_concrete(t):
+        tv = np.asarray(t)
+        if tv.shape[0] > 1 and not bool(np.all(np.diff(tv) > 0)):
+            raise ValueError("t must be monotonically increasing.")
 
     z0 = _as_tuple_state(z0)
     if per_sample and jnp.ndim(t) > 1:

@@ -30,23 +30,28 @@ fixed-step kernel.
 North-star scale (lifting round 2's caps) is handled by COMPOSING kernel
 calls at the XLA level rather than growing the kernel:
 
-* Batches beyond one tile (MAX_TILE lanes) split into independent per-group
-  solves — batch elements of a CDE are independent ODEs, so each group gets
-  its own PI controller.  SEMANTIC NOTE: torchdiffeq (and the XLA path)
-  control the step size with ONE error norm over the whole batch; the
-  grouped kernel controls each MAX_TILE-lane group separately.  Both are
-  standard dopri5 solves to the same tolerances — gradients and dense output
-  are exact for the realised mesh either way — but step sequences differ
-  from the whole-batch norm's (each group's solution is exactly the kernel's
-  single-tile answer for that sub-batch).
-* Coefficient tables beyond MAX_INTERVALS stream as chunks: the solve runs
-  chunk-by-chunk over [grid[j0], grid[j1]] windows with (state, dt proposal)
-  carried between chunks and the FSAL stage re-evaluated at each chunk
-  entry.  Steps clamp to chunk boundaries (the was_clamped rule preserves
-  the dt proposal across them), adding at most one extra step boundary per
-  chunk versus the unchunked mesh.  Output times are routed to the chunk
-  whose span contains them; gradients compose across chunks through plain
-  autodiff over the per-chunk custom_vjps.
+* Batches beyond one tile (MAX_TILE lanes, VMEM permitting) split into
+  independent per-group solves — batch elements of a CDE are independent
+  ODEs, so each group gets its own PI controller.  SEMANTIC NOTE: torchdiffeq
+  (and the XLA path) control the step size with ONE error norm over the whole
+  batch; the grouped kernel controls each tile-lane group separately.  Both
+  are standard dopri5 solves to the same tolerances — gradients and dense
+  output are exact for the realised mesh either way — but step sequences
+  differ from the whole-batch norm's (each group's solution is exactly the
+  kernel's single-tile answer for that sub-batch).  At MAX_TILE = 4096 the
+  reference-default north-star batch runs as ONE group, i.e. genuinely the
+  whole-batch norm.
+* Long coefficient tables stream as chunks: the solve runs chunk-by-chunk
+  over [grid[j0], grid[j1]] windows with (state, dt proposal) carried between
+  chunks and the FSAL stage re-evaluated at each chunk entry.  Steps clamp to
+  chunk boundaries (the was_clamped rule preserves the dt proposal across
+  them), adding at most one extra step boundary per chunk versus the
+  unchunked mesh.  Output times are routed to the chunk whose span contains
+  them; gradients compose across chunks through plain autodiff over the
+  per-chunk custom_vjps.  The chunk length adapts to what VMEM admits at the
+  chosen tile width — a wide tile with short chunks beats narrow tiles with
+  long chunks, because chunking splits the time axis (total steps stay ~one
+  solve's worth) while grouping splits the batch (total steps multiply).
 """
 
 import functools
@@ -67,10 +72,19 @@ from .fused_pallas import (
 )
 from .runge_kutta import DOPRI5, _solve_dense_midpoint
 
-MAX_TILE = 512     # lanes per kernel call; one error norm couples one tile
-MAX_INTERVALS = 128  # coefficient-table chunk held in VMEM per call
+MAX_TILE = 4096    # lanes per kernel call; one error norm couples one tile
+MAX_INTERVALS = 128  # coefficient-table chunk held in VMEM per call (upper bound)
 MAX_OUT_TIMES = 64   # dense-output rows per chunk
 _STORE_CAP = 2048  # accepted-step trajectory rows (HBM, DMA-written)
+_VMEM_BUDGET = 10 * 1024 * 1024  # per-call VMEM residency target
+
+# Tile-vs-chunk tradeoff: a WIDE batch tile with SHORT coefficient chunks
+# beats narrow tiles with long chunks, because chunking splits the TIME axis
+# (total step count stays ~one solve's worth, +1 clamped step per boundary)
+# while grouping splits the BATCH (total step count multiplies by the group
+# count).  Round 3 ran batch 4096 as 8 sequential 512-lane solves — 8x the
+# serial stepping; now the tile takes the whole batch (up to MAX_TILE) and
+# the chunk length shrinks to whatever VMEM admits at that width.
 
 # Quartic dense-output inverse system (integrate.py _QUARTIC_MINV).  Python
 # floats, NOT NumPy scalars: under jax_enable_x64 an np.float64 scalar would
@@ -470,8 +484,8 @@ def _make_fused_dopri(n, tile, out_ts, t_start, t_end, t0g, w, rtol, atol,
     return solve
 
 
-def _chunk_plan(grid, ts_np):
-    """Splits the knot grid into interval chunks of <= MAX_INTERVALS and
+def _chunk_plan(grid, ts_np, max_intervals=MAX_INTERVALS):
+    """Splits the knot grid into interval chunks of <= max_intervals and
     routes each output time (after ts[0]) to the chunk whose span contains
     it.  Returns a list of (j0, j1, t_start, t_end, out_ts, out_idx)."""
     n = grid.shape[0] - 1
@@ -480,7 +494,7 @@ def _chunk_plan(grid, ts_np):
     prev_end = t0
     j0 = 0
     while j0 < n:
-        j1 = min(j0 + MAX_INTERVALS, n)
+        j1 = min(j0 + max_intervals, n)
         start = float(grid[j0]) if j0 > 0 else min(t0, float(grid[0]))
         end = float(grid[j1]) if j1 < n else max(tN, float(grid[n]))
         if end <= t0 + 0.0:      # chunk entirely before the solve begins
@@ -509,10 +523,11 @@ def try_fused_dopri5(X, func, z0, ts, cfg):
     Requires: MLPVectorField over a CubicSpline with a concrete uniform knot
     grid, concrete output times, f32 or bf16 (bf16 solves in f32 internally,
     the shared _pack_operands dtype policy), no step_size
-    (tolerance-controlled), single device.  Batches larger than MAX_TILE lanes run as independent
-    per-group solves and coefficient tables larger than MAX_INTERVALS stream
-    as carried chunks (see module docstring for the controller semantics).
-    Returns the time-leading solution at ``ts`` or None.
+    (tolerance-controlled), single device.  Batches larger than the chosen
+    tile run as independent per-group solves and long coefficient tables
+    stream as carried chunks sized to VMEM (see module docstring for the
+    controller semantics).  Returns the time-leading solution at ``ts`` or
+    None.
     """
     from ..interpolation.cubic import CubicSpline
     from . import fused_pallas
@@ -544,12 +559,6 @@ def try_fused_dopri5(X, func, z0, ts, cfg):
     w = float(spans[0])
     n = grid.shape[0] - 1
 
-    chunks = _chunk_plan(grid, ts_np)
-    if not chunks:
-        return None
-    if any(len(c[4]) > MAX_OUT_TIMES for c in chunks):
-        return None
-
     # The trajectory store bounds each chunk's step budget.  A caller who
     # explicitly asks for a larger budget than the store gets the XLA path
     # (which honors it) instead of a silently smaller one; the default budget
@@ -565,21 +574,44 @@ def try_fused_dopri5(X, func, z0, ts, cfg):
     if p_full is None:
         return None
 
-    # Joint VMEM residency estimate per chunk call (coefficient chunk + its
-    # gradient, output rows + cotangents, t/dt stores, weights, scratch):
-    # decline rather than hand Mosaic a program that cannot allocate.
+    def vmem_bytes(chunks, tile):
+        # Joint VMEM residency per chunk call: coefficient chunk + its
+        # gradient, output rows + cotangents, t/dt stores, weights, scratch.
+        max_chunk_n = max(c[1] - c[0] for c in chunks)
+        max_chunk_out = max(max(len(c[4]), 1) for c in chunks)
+        resident_rows = 2 * max_chunk_n * _SLAB \
+            + 2 * max_chunk_out * p_full.Hp + 10 * p_full.Hp
+        return 4 * (
+            resident_rows * tile + 2 * cap * 128
+            + p_full.W * (p_full.Hp + p_full.CHp + 2)
+            + 2 * _round_up(max_chunk_out, _LANES)
+        )
+
+    # Widest tile first (chunking the time axis keeps the total step count at
+    # ~one solve's worth; narrowing the tile multiplies it), then shrink the
+    # chunk length until the residency fits; shrink the tile only when even
+    # 4-interval chunks cannot fit, and decline rather than hand Mosaic a
+    # program that cannot allocate.
     tile = min(_round_up(max(p_full.B, 1), _LANES), MAX_TILE)
-    max_chunk_n = max(c[1] - c[0] for c in chunks)
-    max_chunk_out = max(max(len(c[4]), 1) for c in chunks)
-    resident_rows = 2 * max_chunk_n * _SLAB + 2 * max_chunk_out * p_full.Hp \
-        + 10 * p_full.Hp
-    vmem_bytes = 4 * (
-        resident_rows * tile + 2 * cap * 128
-        + p_full.W * (p_full.Hp + p_full.CHp + 2)
-        + 2 * _round_up(max_chunk_out, _LANES)
-    )
-    if vmem_bytes > 12 * 1024 * 1024:
-        return None
+    chunks = None
+    while chunks is None:
+        n_int = min(MAX_INTERVALS, n)
+        while True:
+            trial = _chunk_plan(grid, ts_np, n_int)
+            if not trial:
+                return None
+            if any(len(c[4]) > MAX_OUT_TIMES for c in trial):
+                return None
+            if vmem_bytes(trial, tile) <= _VMEM_BUDGET:
+                chunks = trial
+                break
+            if n_int <= 4:
+                break
+            n_int = max(4, n_int // 2)
+        if chunks is None:
+            if tile <= _LANES:
+                return None
+            tile = _round_up(tile // 2, _LANES)
 
     # Hairer initial-step heuristic, identical to the XLA path (3 dispatched
     # vector-field evaluations — negligible next to the fused solve).  Runs
@@ -592,7 +624,7 @@ def try_fused_dopri5(X, func, z0, ts, cfg):
     dt0_full = select_initial_step(rhs, t0, z0b, _ORDER, cfg.rtol, cfg.atol, f0)
     dt0_full = jax.lax.stop_gradient(dt0_full).astype(jnp.float32).reshape(1, 1)
 
-    # Flatten batch; groups of <= MAX_TILE lanes solve independently.
+    # Flatten batch; groups of <= tile lanes solve independently.
     B = p_full.B
     batch_shape = p_full.batch
     H = p_full.H
@@ -605,11 +637,11 @@ def try_fused_dopri5(X, func, z0, ts, cfg):
 
     n_out_total = len(ts_np)
     group_outs = []
-    for g0 in range(0, B, MAX_TILE):
-        g1 = min(g0 + MAX_TILE, B)
+    for g0 in range(0, B, tile):
+        g1 = min(g0 + tile, B)
         p = fused_pallas._pack_operands(
             rows_flat[0][g0:g1], rows_flat[1][g0:g1], rows_flat[2][g0:g1],
-            z0_flat[g0:g1], func, n, single_tile=MAX_TILE)
+            z0_flat[g0:g1], func, n, single_tile=tile)
         if p is None:
             return None
 

@@ -119,11 +119,12 @@ def try_fused_fixed(X, func, z0, ts, method, step_size, pallas_only=False):
 
         if isinstance(func, MLPVectorField):
             sliced = tuple(r[..., j0:jN, :] for r in rows[1:])
-            knots = try_fused_mlp_pallas(
-                sliced, z0, func, method, m, step_size_val, jN - j0
+            out = try_fused_mlp_pallas(
+                sliced, z0, func, method, m, step_size_val, jN - j0,
+                out_knots=tuple(int(k) - j0 for k in out_idx),
             )
-            if knots is not None:
-                return jnp.take(knots, jnp.asarray(out_idx - j0), axis=0)
+            if out is not None:
+                return out
 
     if pallas_only:
         return None

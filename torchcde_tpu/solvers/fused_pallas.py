@@ -170,12 +170,14 @@ def _stage_forward(y, fr, slab, w1t, b1, w2t, b2, rep, sel, C, H,
     return k, h1, g, dx
 
 
-def _fwd_kernel(ct_ref, z0_ref, w1_ref, b1_ref, w2_ref, b2_ref, zout_ref, zscr,
-                *, tableau, m, dt_sub, C, H, mx=jnp.float32):
+def _fwd_kernel(ct_ref, z0_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref,
+                zres_ref, zscr, *, tableau, m, dt_sub, C, H, out_knots,
+                mx=jnp.float32):
     alpha, beta, c_sol = tableau
     stage_times = (0.0,) + tuple(alpha)
     n_stages = len(c_sol)
     j = pl.program_id(1)
+    Hp = z0_ref.shape[0]
 
     @pl.when(j == 0)
     def _():
@@ -187,7 +189,7 @@ def _fwd_kernel(ct_ref, z0_ref, w1_ref, b1_ref, w2_ref, b2_ref, zout_ref, zscr,
         rep, sel = _selection_matrices(C, H, CHp, jnp.float32)
     w1t, b1 = w1_ref[:, :], b1_ref[:, :]
     w2t, b2 = w2_ref[:, :], b2_ref[:, :]
-    slab = ct_ref[:, :]
+    slab = ct_ref[:, :].astype(jnp.float32)
     z = zscr[:, :]
 
     for s in range(m):
@@ -208,7 +210,14 @@ def _fwd_kernel(ct_ref, z0_ref, w1_ref, b1_ref, w2_ref, b2_ref, zout_ref, zscr,
                 z = z + (dt_sub * coef) * ks[q]
 
     zscr[:, :] = z
-    zout_ref[:, :] = z
+    zres_ref[:, :] = z
+    # Requested output knots land in the resident out block (index map
+    # constant in j, so it flushes once per batch tile): knot k is the state
+    # after interval k - 1.  Knot 0 (= z0) is assembled by the caller.
+    for k, knot in enumerate(out_knots):
+        @pl.when(j == knot - 1)
+        def _(k=k):
+            out_ref[pl.ds(k * Hp, Hp), :] = z
 
 
 def _dg(a, b, dims, mx=jnp.float32):
@@ -244,14 +253,15 @@ def _stage_backward(u, y, fr, h1, g, dx, w1t, w2t, rep, sel, C, H,
     return dy, dw1t, db1, dw2t, db2, ddx
 
 
-def _bwd_kernel(ct_ref, zin_ref, gz_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                dct_ref, dz0_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+def _bwd_kernel(ct_ref, zres_ref, z0_ref, gz_ref, w1_ref, b1_ref, w2_ref,
+                b2_ref, dct_ref, dz0_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
                 lam_scr, dw1_acc, db1_acc, dw2_acc, db2_acc,
-                *, tableau, m, dt_sub, C, H, mx=jnp.float32):
+                *, tableau, m, dt_sub, C, H, n, out_knots, mx=jnp.float32):
     alpha, beta, c_sol = tableau
     stage_times = (0.0,) + tuple(alpha)
     n_stages = len(c_sol)
     jr = pl.program_id(1)
+    Hp = z0_ref.shape[0]
 
     @pl.when(jr == 0)
     def _():
@@ -267,8 +277,16 @@ def _bwd_kernel(ct_ref, zin_ref, gz_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         rep, sel = _selection_matrices(C, H, CHp, jnp.float32)
     w1t, b1 = w1_ref[:, :], b1_ref[:, :]
     w2t, b2 = w2_ref[:, :], b2_ref[:, :]
-    slab = ct_ref[:, :]
-    lam = lam_scr[:, :] + gz_ref[:, :]
+    slab = ct_ref[:, :].astype(jnp.float32)
+    # Walking interval j = n - 1 - jr: fold in the cotangent of any requested
+    # output knot sitting at this interval's END (knot j + 1 hits at
+    # jr == n - knot).  The gz block holds only the *requested* knots' rows —
+    # the full-trajectory cotangent array this replaces was pure HBM waste
+    # when (as in training) only the terminal state feeds the loss.
+    lam = lam_scr[:, :]
+    for k, knot in enumerate(out_knots):
+        hit = (jr == n - knot).astype(jnp.float32)
+        lam = lam + hit * gz_ref[pl.ds(k * Hp, Hp), :]
 
     def run_stages(y0, base, save):
         ks, ys, h1s, gs, dxs = [], [], [], [], []
@@ -295,8 +313,12 @@ def _bwd_kernel(ct_ref, zin_ref, gz_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                 z = z + (dt_sub * coef) * ks[q]
         return z
 
+    # Interval j's entry state is knot j: residual row j - 1 (the shifted
+    # reverse index map), or z0 for the earliest interval — no XLA-level
+    # concat of (z0, shifted residuals) ever materialises.
+    zin = jnp.where(jr == n - 1, z0_ref[:, :], zres_ref[:, :])
     # Recompute the substep chain z_0..z_{m-1} from the stored knot state.
-    zs = [zin_ref[:, :]]
+    zs = [zin]
     for s in range(m - 1):
         ks, _, _, _, _ = run_stages(zs[-1], s * dt_sub, save=False)
         zs.append(substep_out(zs[-1], ks))
@@ -338,9 +360,12 @@ def _bwd_kernel(ct_ref, zin_ref, gz_ref, w1_ref, b1_ref, w2_ref, b2_ref,
 
     lam_scr[:, :] = lam
     dz0_ref[:, :] = lam
+    # Coefficient cotangents accumulate in f32 registers above; the block
+    # write casts to the coefficient storage dtype (bf16 for bf16 models).
     dct_ref[:, :] = jnp.concatenate(
         [db_acc, dc_acc, dd_acc,
-         jnp.zeros((_SLAB - 3 * C, tile_w), slab.dtype)], axis=0)
+         jnp.zeros((_SLAB - 3 * C, tile_w), slab.dtype)],
+        axis=0).astype(dct_ref.dtype)
     dw1_ref[0] = dw1_acc[:, :]
     db1_ref[0] = db1_acc[:, :]
     dw2_ref[0] = dw2_acc[:, :]
@@ -350,18 +375,25 @@ def _bwd_kernel(ct_ref, zin_ref, gz_ref, w1_ref, b1_ref, w2_ref, b2_ref,
 @functools.lru_cache(maxsize=64)
 def _make_fused_solve(n, tile_fwd, n_tiles_fwd, tile_bwd, n_tiles_bwd, m,
                       dt_sub, tableau, C, H, W, CHp, interpret,
-                      mx=jnp.float32):
+                      mx=jnp.float32, out_knots=(), ct_dtype=jnp.float32):
     """Builds the custom_vjp'd solve over kernel-layout operands.
 
     ``mx`` is the MXU operand dtype for the stage matmuls (bf16 for bf16
     models — matching the XLA path, whose bf16 dots also run the MXU in
     bf16; f32 accumulation and f32 carried state in both modes).
+    ``ct_dtype`` is the coefficient-slab STORAGE dtype: bf16 models keep the
+    slabs (and receive their cotangents) in bf16, halving the dominant HBM
+    stream; the kernels upcast each slab block to f32 on load.
 
-    Operands (all float32):
-      ct2  (n*16, Bp)  — per-interval slabs [b; two_c; three_d; 0-pad] rows
-      z0t  (Hp, Bp)
-      w1t  (W, Hp), b1 (W, 1), w2t (CHp, W), b2 (CHp, 1)
-    Returns zout (n*Hp, Bp): the state at knots 1..n, batch in lanes.
+    Operands:
+      ct2  (n*16, Bp) ct_dtype — per-interval [b; two_c; three_d; 0-pad] rows
+      z0t  (Hp, Bp) f32
+      w1t  (W, Hp), b1 (W, 1), w2t (CHp, W), b2 (CHp, 1) — f32
+    Returns out (n_out*Hp, Bp) f32: the states at the REQUESTED knots
+    ``out_knots`` (each >= 1; knot 0 is the caller's z0).  The full knot
+    trajectory is an internal residual (saved fwd->bwd, never a cotangent
+    carrier), so the backward's gz is n_out rows — for a train step reading
+    only the terminal state that is one row, not the whole trajectory.
 
     Forward and backward run different batch-tile widths (the backward's
     live set per lane is larger); both products must equal Bp.
@@ -369,6 +401,7 @@ def _make_fused_solve(n, tile_fwd, n_tiles_fwd, tile_bwd, n_tiles_bwd, m,
     Hp = _round_up(H, 8)
     Bp = tile_fwd * n_tiles_fwd
     assert Bp == tile_bwd * n_tiles_bwd
+    n_out = len(out_knots)
 
     def specs(tile):
         slab = pl.BlockSpec((_SLAB, tile), lambda i, j: (j, i),
@@ -377,32 +410,42 @@ def _make_fused_solve(n, tile_fwd, n_tiles_fwd, tile_bwd, n_tiles_bwd, m,
                                 memory_space=pltpu.VMEM)
         z = pl.BlockSpec((Hp, tile), lambda i, j: (j, i),
                          memory_space=pltpu.VMEM)
-        z_rev = pl.BlockSpec((Hp, tile), lambda i, jr: (n - 1 - jr, i),
-                             memory_space=pltpu.VMEM)
+        # Interval j = n-1-jr reads its ENTRY state: residual row j - 1,
+        # clamped at the earliest interval (which uses z0 instead).
+        z_rev_shift = pl.BlockSpec(
+            (Hp, tile), lambda i, jr: (jnp.maximum(n - 2 - jr, 0), i),
+            memory_space=pltpu.VMEM)
         z0 = pl.BlockSpec((Hp, tile), lambda i, j: (0, i),
                           memory_space=pltpu.VMEM)
-        return slab, slab_rev, z, z_rev, z0
+        outs = pl.BlockSpec((n_out * Hp, tile), lambda i, j: (0, i),
+                            memory_space=pltpu.VMEM)
+        return slab, slab_rev, z, z_rev_shift, z0, outs
 
-    slab_spec, _, z_spec, _, z0_spec = specs(tile_fwd)
-    _, slab_spec_rev, _, z_spec_rev, z0_spec_bwd = specs(tile_bwd)
+    slab_spec, _, z_spec, _, z0_spec, out_spec = specs(tile_fwd)
+    _, slab_spec_rev, _, z_rev_shift, z0_spec_bwd, gz_spec = specs(tile_bwd)
 
     def rep_spec(shape):
         zero = (0,) * len(shape)
         return pl.BlockSpec(shape, lambda i, j, _z=zero: _z,
                             memory_space=pltpu.VMEM)
 
+    ct_bytes = 2 if ct_dtype == jnp.bfloat16 else 4
     fwd_call = pl.pallas_call(
         functools.partial(_fwd_kernel, tableau=tableau, m=m, dt_sub=dt_sub,
-                          C=C, H=H, mx=mx),
-        out_shape=jax.ShapeDtypeStruct((n * Hp, Bp), jnp.float32),
+                          C=C, H=H, out_knots=out_knots, mx=mx),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_out * Hp, Bp), jnp.float32),  # requested
+            jax.ShapeDtypeStruct((n * Hp, Bp), jnp.float32),      # residuals
+        ),
         grid=(n_tiles_fwd, n),
         in_specs=[slab_spec, z0_spec, rep_spec((W, Hp)), rep_spec((W, 1)),
                   rep_spec((CHp, W)), rep_spec((CHp, 1))],
-        out_specs=z_spec,
+        out_specs=(out_spec, z_spec),
         scratch_shapes=[pltpu.VMEM((Hp, tile_fwd), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * m * 4 * (H * W + W * C * H) * n * Bp,
-            bytes_accessed=4 * n * Bp * (_SLAB + 2 * Hp),
+            bytes_accessed=n * Bp * (ct_bytes * _SLAB + 4 * Hp)
+            + 4 * n_out * Hp * Bp,
             transcendentals=m * 4 * n * Bp * C * H,
         ),
         interpret=interpret,
@@ -414,9 +457,9 @@ def _make_fused_solve(n, tile_fwd, n_tiles_fwd, tile_bwd, n_tiles_bwd, m,
 
     bwd_call = pl.pallas_call(
         functools.partial(_bwd_kernel, tableau=tableau, m=m, dt_sub=dt_sub,
-                          C=C, H=H, mx=mx),
+                          C=C, H=H, n=n, out_knots=out_knots, mx=mx),
         out_shape=(
-            jax.ShapeDtypeStruct((n * _SLAB, Bp), jnp.float32),   # dct
+            jax.ShapeDtypeStruct((n * _SLAB, Bp), ct_dtype),      # dct
             jax.ShapeDtypeStruct((Hp, Bp), jnp.float32),          # dz0
             jax.ShapeDtypeStruct((n_tiles_bwd, W, Hp), jnp.float32),  # dw1 parts
             jax.ShapeDtypeStruct((n_tiles_bwd, W, 1), jnp.float32),
@@ -424,7 +467,7 @@ def _make_fused_solve(n, tile_fwd, n_tiles_fwd, tile_bwd, n_tiles_bwd, m,
             jax.ShapeDtypeStruct((n_tiles_bwd, CHp, 1), jnp.float32),
         ),
         grid=(n_tiles_bwd, n),
-        in_specs=[slab_spec_rev, z_spec_rev, z_spec_rev,
+        in_specs=[slab_spec_rev, z_rev_shift, z0_spec_bwd, gz_spec,
                   rep_spec((W, Hp)), rep_spec((W, 1)),
                   rep_spec((CHp, W)), rep_spec((CHp, 1))],
         out_specs=(slab_spec_rev, z0_spec_bwd,
@@ -439,7 +482,8 @@ def _make_fused_solve(n, tile_fwd, n_tiles_fwd, tile_bwd, n_tiles_bwd, m,
         ],
         cost_estimate=pl.CostEstimate(
             flops=6 * m * 4 * (H * W + W * C * H) * n * Bp,
-            bytes_accessed=4 * n * Bp * (2 * _SLAB + 3 * Hp),
+            bytes_accessed=n * Bp * (2 * ct_bytes * _SLAB + 4 * Hp)
+            + 4 * n_out * Hp * Bp,
             transcendentals=2 * m * 4 * n * Bp * C * H,
         ),
         interpret=interpret,
@@ -447,18 +491,17 @@ def _make_fused_solve(n, tile_fwd, n_tiles_fwd, tile_bwd, n_tiles_bwd, m,
 
     @jax.custom_vjp
     def solve(ct2, z0t, w1t, b1, w2t, b2):
-        return fwd_call(ct2, z0t, w1t, b1, w2t, b2)
+        out, _zres = fwd_call(ct2, z0t, w1t, b1, w2t, b2)
+        return out
 
     def solve_fwd(ct2, z0t, w1t, b1, w2t, b2):
-        zout = fwd_call(ct2, z0t, w1t, b1, w2t, b2)
-        return zout, (ct2, z0t, w1t, b1, w2t, b2, zout)
+        out, zres = fwd_call(ct2, z0t, w1t, b1, w2t, b2)
+        return out, (ct2, z0t, w1t, b1, w2t, b2, zres)
 
     def solve_bwd(res, gz):
-        ct2, z0t, w1t, b1, w2t, b2, zout = res
-        # zin slab j = state at knot j (z0 for j = 0).
-        zin = jnp.concatenate([z0t, zout[: (n - 1) * Hp]], axis=0)
+        ct2, z0t, w1t, b1, w2t, b2, zres = res
         dct, dz0, dw1p, db1p, dw2p, db2p = bwd_call(
-            ct2, zin, gz, w1t, b1, w2t, b2
+            ct2, zres, z0t, gz, w1t, b1, w2t, b2
         )
         return (dct, dz0, jnp.sum(dw1p, axis=0), jnp.sum(db1p, axis=0),
                 jnp.sum(dw2p, axis=0), jnp.sum(db2p, axis=0))
@@ -499,16 +542,20 @@ class _Packed:
 
     __slots__ = ("ct2", "z0t", "w1t", "b1c", "w2t", "b2c", "z0f", "batch",
                  "B", "Bp", "tile", "n_tiles", "tile_fwd", "n_tiles_fwd",
-                 "C", "H", "W", "Hp", "CHp", "out_dtype", "mxu")
+                 "C", "H", "W", "Hp", "CHp", "out_dtype", "mxu", "ct_dtype")
 
 
-def _pack_operands(b_rows, c_rows, d_rows, z0, field, n, single_tile=None):
+def _pack_operands(b_rows, c_rows, d_rows, z0, field, n, single_tile=None,
+                   ct_store=None):
     """Validate vector-field/batch shapes and pack the kernel operands.
 
     Returns a ``_Packed`` or None when ineligible.  ``single_tile``: a lane
     cap for kernels that keep the whole batch in one tile (the adaptive
     solver's whole-batch error norm); otherwise the batch is padded up to
-    whole 1024-lane tiles.
+    whole 1024-lane tiles.  ``ct_store="native"``: bf16 models keep the
+    coefficient slab array (``ct2``) in bf16 — kernels built for it upcast
+    slab blocks on load and emit bf16 slab cotangents; the default (None)
+    upcasts everything to f32 for kernels without that handling.
     """
     C = b_rows.shape[-1]
     H = field.hidden_channels
@@ -530,10 +577,18 @@ def _pack_operands(b_rows, c_rows, d_rows, z0, field, n, single_tile=None):
     # path's promotion semantics are the contract there.
     if any(a.dtype != arrays[0].dtype for a in arrays):
         return None
+    ct_dtype = jnp.float32
     if arrays[0].dtype == jnp.bfloat16:
-        b_rows, c_rows, d_rows, z0, w1, b1, w2, b2 = (
-            a.astype(jnp.float32) for a in arrays)
         out_dtype = mxu = jnp.bfloat16
+        if ct_store == "native":
+            # Slab rows stay bf16 (the HBM-dominant stream); carried-state
+            # operands still upcast — the solve's state and accumulators
+            # are f32 either way.
+            z0, w1, b1, w2, b2 = (a.astype(jnp.float32) for a in arrays[3:])
+            ct_dtype = jnp.bfloat16
+        else:
+            b_rows, c_rows, d_rows, z0, w1, b1, w2, b2 = (
+                a.astype(jnp.float32) for a in arrays)
     elif arrays[0].dtype == jnp.float32:
         out_dtype = mxu = jnp.float32
     else:
@@ -544,6 +599,7 @@ def _pack_operands(b_rows, c_rows, d_rows, z0, field, n, single_tile=None):
     p = _Packed()
     p.out_dtype = out_dtype
     p.mxu = mxu
+    p.ct_dtype = ct_dtype
     p.batch, p.B, p.C, p.H, p.W = batch, B, C, H, W
     p.Hp = _round_up(H, 8)
     p.CHp = _round_up(C * H, 8)
@@ -572,7 +628,7 @@ def _pack_operands(b_rows, c_rows, d_rows, z0, field, n, single_tile=None):
     # handled by autodiff).
     ct = jnp.concatenate(
         [flat_rows(b_rows), flat_rows(c_rows), flat_rows(d_rows),
-         jnp.zeros((B, n, _SLAB - 3 * C), jnp.float32)], axis=-1)
+         jnp.zeros((B, n, _SLAB - 3 * C), ct_dtype)], axis=-1)
     ct2 = jnp.transpose(ct, (1, 2, 0)).reshape(n * _SLAB, B)
     p.ct2 = jnp.pad(ct2, ((0, 0), (0, Bp - B)))
 
@@ -590,32 +646,60 @@ def _pack_operands(b_rows, c_rows, d_rows, z0, field, n, single_tile=None):
     return p
 
 
-def try_fused_mlp_pallas(rows, z0, field, method, m, dt_sub, n):
+def try_fused_mlp_pallas(rows, z0, field, method, m, dt_sub, n,
+                         out_knots=None):
     """Attempt the fused Pallas solve.
 
     rows: (b, two_c, three_d) spline rows, each (..., n, C); z0 (..., H);
     field: an MLPVectorField; m substeps of size dt_sub per interval (uniform
-    knot spacing).  Returns knots (n + 1, ..., H) time-leading (knot 0 = z0),
-    or None when not applicable.
+    knot spacing); out_knots: strictly-increasing knot indices in [0, n] to
+    return (None = all knots).  Returns the states at ``out_knots``,
+    time-leading, or None when not applicable.  Only the requested knots
+    cross the custom_vjp boundary — the trajectory is an internal residual —
+    so a terminal-state loss backpropagates one cotangent row, not n.
     """
     interpret = _kernel_mode()
     if interpret is None:
         return None
     if method not in _TABLEAUS or m > MAX_SUBSTEPS:
         return None
-    p = _pack_operands(*rows, z0, field, n)
+    if out_knots is None:
+        out_knots = tuple(range(n + 1))
+    else:
+        out_knots = tuple(int(k) for k in out_knots)
+    kernel_knots = tuple(k for k in out_knots if k > 0)
+    if not kernel_knots:
+        return None
+    p = _pack_operands(*rows, z0, field, n, ct_store="native")
     if p is None:
         return None
 
-    solve = _make_fused_solve(n, p.tile_fwd, p.n_tiles_fwd, p.tile, p.n_tiles,
-                              m, float(dt_sub), _TABLEAUS[method], p.C, p.H,
-                              p.W, p.CHp, interpret, p.mxu)
-    zout = solve(p.ct2, p.z0t, p.w1t, p.b1c, p.w2t, p.b2c)  # (n*Hp, Bp)
+    # The requested-knot block stays VMEM-resident per batch tile; shrink the
+    # forward tile (or decline) rather than oversubscribe VMEM when a caller
+    # asks for very many knots of a very long control.
+    out_block_limit = 6 * 1024 * 1024
+    tile_fwd, n_tiles_fwd = p.tile_fwd, p.n_tiles_fwd
+    if len(kernel_knots) * p.Hp * tile_fwd * 4 > out_block_limit:
+        tile_fwd, n_tiles_fwd = p.tile, p.n_tiles
+    if len(kernel_knots) * p.Hp * p.tile * 4 > out_block_limit:
+        return None
 
-    knots = zout.reshape(n, p.Hp, p.Bp)[:, :p.H, :p.B]
-    knots = jnp.moveaxis(knots, 1, -1).reshape((n,) + p.batch + (p.H,))
-    z0b = jnp.broadcast_to(p.z0f.reshape(p.batch + (p.H,)), p.batch + (p.H,))
-    return jnp.concatenate([z0b[None], knots], axis=0).astype(p.out_dtype)
+    solve = _make_fused_solve(n, tile_fwd, n_tiles_fwd, p.tile, p.n_tiles,
+                              m, float(dt_sub), _TABLEAUS[method], p.C, p.H,
+                              p.W, p.CHp, interpret, p.mxu, kernel_knots,
+                              p.ct_dtype)
+    outk = solve(p.ct2, p.z0t, p.w1t, p.b1c, p.w2t, p.b2c)
+
+    sel = outk.reshape(len(kernel_knots), p.Hp, p.Bp)[:, :p.H, :p.B]
+    sel = jnp.moveaxis(sel, 1, -1).reshape(
+        (len(kernel_knots),) + p.batch + (p.H,))
+    if 0 in out_knots:  # knot 0 is z0 itself — assembled here, not in-kernel
+        z0b = jnp.broadcast_to(p.z0f.reshape(p.batch + (p.H,)),
+                               p.batch + (p.H,))
+        out = jnp.concatenate([z0b[None], sel], axis=0)
+    else:
+        out = sel
+    return out.astype(p.out_dtype)
 
 
 # ---------------------------------------------------------------------------
