@@ -232,7 +232,20 @@ def main(run_all=False):
         "unit": "ms/step",
         "vs_baseline": round(speedup, 2),
     }
-    roofline.annotate(result, tpu_time, cost, per_iter=1)
+    # Workload-structure compute ceiling (thin-K matmuls cannot fill the
+    # 128-wide MXU): distance to THIS is the honest utilization question.
+    import traffic_model
+
+    peaks = roofline._peak_for(roofline.chip_kind())
+    attainable = None
+    if peaks is not None:
+        model = traffic_model.flagship_model(
+            batch=BATCH, n_intervals=LENGTH - 1, H=HIDDEN, C=3, W=WIDTH)
+        attainable = peaks["tflops_bf16"] * model["attainable_frac"]
+        result["min_hbm_mb_per_step"] = round(
+            model["min_bytes_per_step"] / 1e6, 1)
+    roofline.annotate(result, tpu_time, cost, per_iter=1,
+                      attainable_tflops=attainable)
 
     if run_all:
         # Refresh the committed all-config record (BENCHMARKS.json) so every

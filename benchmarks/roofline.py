@@ -58,12 +58,16 @@ def cost_of(jitted, *args, **kwargs):
         return None
 
 
-def annotate(result, t_seconds, cost, per_iter=1):
+def annotate(result, t_seconds, cost, per_iter=1, attainable_tflops=None):
     """Adds {chip, tflops, gbps, pct_peak_mxu, pct_peak_hbm, bound} to a
     benchmark ``result`` dict in place (and returns it).
 
     ``cost`` is a dict from ``cost_of`` covering ``per_iter`` timed
     iterations; ``t_seconds`` is the per-iteration time.
+    ``attainable_tflops``: a workload-structure compute ceiling from an
+    analytic model (benchmarks/traffic_model.py) — thin-operand matmuls
+    cannot use the full 128x128 MXU, so the honest question is distance to
+    the ATTAINABLE rate, not the nominal peak.
     """
     kind = chip_kind()
     result["chip"] = kind
@@ -82,21 +86,34 @@ def annotate(result, t_seconds, cost, per_iter=1):
     hbm_frac = gbps / peaks["hbm_gbps"]
     result["pct_peak_mxu"] = round(100 * mxu_frac, 2)
     result["pct_peak_hbm"] = round(100 * hbm_frac, 2)
-    # The binding constraint is whichever ceiling the kernel is closer to;
-    # when it is far from both, per-op dispatch / serial latency dominates
-    # (the regime the fused kernels exist to escape).  The byte counts are
-    # XLA fusion-boundary bytes: when the implied bandwidth exceeds the HBM
-    # peak, the steady-state working set is VMEM-resident across the timed
-    # scan's iterations and the traffic never reaches HBM — report that
-    # regime explicitly instead of an impossible HBM fraction.
+    if attainable_tflops:
+        result["attainable_tflops"] = round(attainable_tflops, 1)
+        result["pct_attainable_mxu"] = round(100 * tflops / attainable_tflops, 1)
+    # Label the binding constraint.  A ceiling is only claimed when the
+    # kernel is actually NEAR it (>= 40% — round 3 labelled an 8%-of-MXU
+    # config "mxu", which was a misnomer); kernels near their analytic
+    # attainable-compute ceiling are labelled so even when the nominal-peak
+    # fraction is small (idle MXU rows/columns under thin operands are
+    # workload structure, not slack).  Far from every ceiling = the serial /
+    # dispatch-latency regime the fused kernels exist to escape.  The byte
+    # counts are XLA fusion-boundary bytes: when the implied bandwidth
+    # exceeds the HBM peak, the steady-state working set is VMEM-resident
+    # across the timed scan's iterations and the traffic never reaches HBM —
+    # report that regime explicitly instead of an impossible HBM fraction.
     if hbm_frac > 1.0:
         result["bound"] = "vmem-resident"
         result["note"] = (
             "fusion-boundary bytes/time exceeds HBM peak: working set stays "
             "in VMEM across scan iterations; pct_peak_hbm is an upper bound "
             "on HBM pressure, not achieved DRAM bandwidth")
-    elif max(mxu_frac, hbm_frac) < 0.05:
-        result["bound"] = "dispatch/latency"
+    elif attainable_tflops and tflops >= 0.7 * attainable_tflops:
+        result["bound"] = "mxu-attainable"
+        result["note"] = (
+            "at the thin-operand compute floor: contraction dims well below "
+            "the 128-wide MXU cap the usable fraction of the array; see "
+            "benchmarks/traffic_model.py for the bound")
+    elif max(mxu_frac, hbm_frac) < 0.40:
+        result["bound"] = "latency"
     elif mxu_frac >= hbm_frac:
         result["bound"] = "mxu"
     else:

@@ -102,3 +102,26 @@ def test_fixed_step_count_not_padded():
     _, stats = odeint(_rhs, z0, jnp.asarray([0.0, 1.0, 2.0]), cfg, collect_stats=True)
     assert int(stats["steps_attempted"]) == 8
     assert int(stats["nfe"]) == 8 * 4
+
+
+def test_dopri8_midstep_output_at_full_order():
+    """Methods of order > 4 clamp steps to land ON output times (the shared
+    interpolant is only quartic): reading dopri8 between what WOULD be its
+    steps must deliver full method accuracy, not a silently-4th-order value.
+    Before the clamp, dopri8's large steps left mid-step rows with ~1e-5
+    interpolation error at these tolerances."""
+    cfg = SolverConfig(method="dopri8", rtol=1e-7, atol=1e-9)
+    z0 = jnp.asarray(_Z0)
+    ts = jnp.linspace(0.0, 4.0, 23)
+    out = odeint(_rhs, z0, ts, cfg)
+    np.testing.assert_allclose(np.asarray(out), _true(ts), rtol=1e-7, atol=1e-8)
+
+
+def test_dopri8_clamped_outputs_cost_at_most_len_ts_extra_steps():
+    cfg = SolverConfig(method="dopri8", rtol=1e-7, atol=1e-9)
+    z0 = jnp.asarray(_Z0)
+    _, stats2 = odeint(_rhs, z0, jnp.asarray([0.0, 4.0]), cfg,
+                       collect_stats=True)
+    ts = jnp.linspace(0.0, 4.0, 23)
+    _, stats23 = odeint(_rhs, z0, ts, cfg, collect_stats=True)
+    assert int(stats23["steps_accepted"]) <= int(stats2["steps_accepted"]) + 23

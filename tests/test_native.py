@@ -114,3 +114,51 @@ def test_natural_cubic_masked_dense_agrees():
     ours = native.natural_cubic_masked(t, x)
     dense = native.natural_cubic_dense(t, x)
     assert np.allclose(ours, dense, atol=1e-12)
+
+
+@pytest.mark.parametrize("dtype,tol", [(np.float64, 1e-12), (np.float32, 1e-4)])
+def test_logsig_window_values_match_jax(dtype, tol):
+    # The C++ windowed logsignature (Chen product of segment exponentials,
+    # tensor log, Lyndon gather) vs ops/logsignature.py — the host twin that
+    # replaces the reference's per-window signatory calls (log_ode.py:57-67).
+    from torchcde_tpu.ops.logsignature import windowed_logsignatures
+
+    x = rng.standard_normal((4, 50, 3)).astype(dtype)
+    b = np.asarray([0, 7, 20, 31, 49], np.int64)
+    for depth in (1, 2, 3):
+        ref = np.asarray(windowed_logsignatures(jnp.asarray(x), depth, b))
+        got = native.logsig_window_values(x, b, depth)
+        assert got.shape == ref.shape
+        assert np.allclose(got, ref, atol=tol, rtol=tol), (
+            depth, np.abs(got - ref).max())
+
+
+def test_logsig_windows_host_matches_logsig_windows():
+    # Full host pipeline (merge grid, NaN-row insertion, linear infill,
+    # windows, X(t0) row, cumsum) == torchcde_tpu.logsig_windows (v1),
+    # including NaNs and an irregular grid.
+    x = rng.standard_normal((3, 40, 3))
+    x[rng.random(x.shape) < 0.2] = np.nan
+    t = np.sort(rng.random(40)) * 11 + 0.01 * np.arange(40)
+    ref = np.asarray(tc.logsig_windows(jnp.asarray(x), 3, 2.5, jnp.asarray(t)))
+    got = native.logsig_windows_host(t, x, 3, 2.5)
+    assert got.shape == ref.shape
+    assert np.allclose(got, ref, atol=1e-9), np.abs(got - ref).max()
+
+
+def test_loader_logsig_interpolation():
+    # CoefficientDataLoader(interpolation="logsig") yields the windowed
+    # logsignature path per batch without touching JAX in workers.
+    from torchcde_tpu.data import CoefficientDataLoader
+
+    x = rng.standard_normal((10, 30, 3)).astype(np.float64)
+    y = rng.standard_normal(10)
+    loader = CoefficientDataLoader(
+        x, y, batch_size=5, interpolation="logsig", depth=3, window_length=4.0,
+        shuffle=False, device_put=False, num_workers=2)
+    batches = list(loader)
+    assert len(batches) == 2
+    ref = np.asarray(tc.logsig_windows(jnp.asarray(x[:5]), 3, 4.0))
+    assert np.allclose(np.asarray(batches[0][0]), ref, atol=1e-9)
+    with pytest.raises(ValueError, match="depth= and window_length="):
+        CoefficientDataLoader(x, y, batch_size=5, interpolation="logsig")

@@ -49,6 +49,7 @@ _PREPROCESSORS = {
     "hermite": _hermite_host,
     "cubic": _natural_cubic_host,
     "linear": _linear_host,
+    # "logsig": built per-loader (needs depth / window_length), see __init__.
 }
 
 
@@ -79,12 +80,25 @@ class CoefficientDataLoader:
 
     def __init__(self, x, y, batch_size, interpolation="hermite", t=None,
                  shuffle=True, seed=0, prefetch=2, device_put=True,
-                 num_workers=1, drop_last=True):
-        if interpolation not in _PREPROCESSORS:
+                 num_workers=1, drop_last=True, depth=None, window_length=None):
+        if interpolation == "logsig":
+            # Log-ODE preprocessing (the reference's signatory dependency,
+            # log_ode.py:57-67) on loader threads: yields the windowed
+            # logsignature PATH values — exactly torchcde_tpu.logsig_windows
+            # — which are themselves the linear-interpolation coefficients
+            # for the Neural RDE workflow.
+            if depth is None or window_length is None:
+                raise ValueError(
+                    "interpolation='logsig' needs depth= and window_length=")
+            d, wl = int(depth), float(window_length)
+            self._fn = lambda t_, x_: native.logsig_windows_host(t_, x_, d, wl)
+        elif interpolation not in _PREPROCESSORS:
             raise ValueError(
                 f"Unknown interpolation {interpolation!r}; expected one of "
-                f"{sorted(_PREPROCESSORS)}"
+                f"{sorted(_PREPROCESSORS) + ['logsig']}"
             )
+        else:
+            self._fn = _PREPROCESSORS[interpolation]
         self._x = np.asarray(x)
         self._y = np.asarray(y)
         if self._x.shape[0] != self._y.shape[0]:
@@ -92,7 +106,6 @@ class CoefficientDataLoader:
                 f"x and y disagree on the number of samples: "
                 f"{self._x.shape[0]} vs {self._y.shape[0]}"
             )
-        self._fn = _PREPROCESSORS[interpolation]
         self._t = (
             np.asarray(t, dtype=self._x.dtype)
             if t is not None

@@ -223,3 +223,70 @@ def lyndon_words(channels, depth):
         words.append(tuple(int(v) for v in letters[pos : pos + n]))
         pos += n
     return tuple(words)
+
+
+def logsig_window_values(x, boundaries, depth, n_threads=None):
+    """Raw per-window logsignatures (Lyndon-word coordinates) of an infilled
+    piecewise-linear path: the host twin of
+    ``ops.logsignature.windowed_logsignatures``.
+
+    x: (..., length, channels), NaN-free; boundaries: int (n_windows + 1,)
+    indices into the length axis.  Returns (..., n_windows, n_logsig).
+    """
+    lib = _load()
+    x = np.ascontiguousarray(x)
+    b = np.ascontiguousarray(boundaries, dtype=np.int64)
+    if lib is None:
+        from ..ops.logsignature import windowed_logsignatures
+        import jax.numpy as jnp
+
+        return np.asarray(windowed_logsignatures(jnp.asarray(x), depth, b))
+    L, C = x.shape[-2], x.shape[-1]
+    n = int(np.prod(x.shape[:-2], dtype=np.int64)) if x.ndim > 2 else 1
+    words = lyndon_words(C, int(depth))
+    word_level = np.ascontiguousarray([len(w) for w in words], dtype=np.int32)
+    flat = []
+    for w in words:
+        idx = 0
+        for letter in w:
+            idx = idx * C + letter
+        flat.append(idx)
+    word_flat = np.ascontiguousarray(flat, dtype=np.int32)
+    n_logsig = len(words)
+    n_windows = b.shape[0] - 1
+    out = np.empty(x.shape[:-2] + (n_windows, n_logsig), dtype=x.dtype)
+    fn = getattr(lib, f"logsig_windows_{_suffix(x.dtype.type)}")
+    fn(_ptr(x.reshape(n, L, C)), _ptr(out.reshape(n, n_windows, n_logsig)),
+       _ptr(b), ctypes.c_int64(n), ctypes.c_int64(L), ctypes.c_int64(C),
+       ctypes.c_int32(int(depth)), ctypes.c_int64(n_windows),
+       _ptr(word_level), _ptr(word_flat), ctypes.c_int64(n_logsig),
+       ctypes.c_int(n_threads or _default_threads()))
+    return out
+
+
+def logsig_windows_host(t, x, depth, window_length, n_threads=None):
+    """Host-side ``logsig_windows`` (the _version=1 semantics of
+    torchcde_tpu.log_ode): window-grid merge, NaN-row insertion, linear
+    infill, per-window logsignatures, X(t0) first row, cumulative sum —
+    entirely on loader threads (NumPy + the C++ kernels, no JAX), so log-ODE
+    preprocessing (the reference's signatory call, log_ode.py:57-67)
+    overlaps device compute.
+    """
+    from ..log_ode import _merge_window_grid
+
+    x = np.ascontiguousarray(x)
+    t_np = np.asarray(t, dtype=np.float64)
+    merged, boundaries, _new_t = _merge_window_grid(t_np, float(window_length))
+    if merged.shape[0] != t_np.shape[0]:
+        insert_mask = ~np.isin(merged, t_np)
+        full = np.full(x.shape[:-2] + (merged.shape[0], x.shape[-1]), np.nan,
+                       dtype=x.dtype)
+        full[..., ~insert_mask, :] = x
+        x = full
+    if np.isnan(x).any():
+        x = linear_infill(merged.astype(x.dtype), x, n_threads=n_threads)
+    vals = logsig_window_values(x, boundaries, depth, n_threads=n_threads)
+    C = x.shape[-1]
+    first = np.zeros(x.shape[:-2] + (1, vals.shape[-1]), dtype=x.dtype)
+    first[..., 0, :C] = x[..., 0, :]
+    return np.cumsum(np.concatenate([first, vals], axis=-2), axis=-2)

@@ -439,3 +439,168 @@ int64_t lyndon_words_c(int32_t channels, int32_t depth, int32_t* out_letters,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Windowed logsignatures (host twin of ops/logsignature.py windowed path):
+// per window, the ordered Chen product of segment exponentials in the
+// truncated tensor algebra T^{<=depth}(R^c), tensor log, gathered at
+// Lyndon-word indices.  Replaces the per-window signatory C++/CUDA calls the
+// reference makes (/root/reference/torchcde/log_ode.py:57-67) with a
+// loader-thread kernel, so log-ODE preprocessing overlaps TPU compute.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+template <typename T>
+struct TensorLevels {
+  // levels[k-1] holds the c^k coefficients of level k (non-unit part).
+  std::vector<std::vector<T>> levels;
+  TensorLevels(int64_t c, int32_t depth) {
+    int64_t size = 1;
+    for (int32_t k = 1; k <= depth; ++k) {
+      size *= c;
+      levels.emplace_back((size_t)size, T(0));
+    }
+  }
+  void zero() {
+    for (auto& l : levels) std::fill(l.begin(), l.end(), T(0));
+  }
+};
+
+// acc_k += a_i (x) b_j summed over i + j = k (i, j >= 1) — the non-unital
+// part of a product, written into out (out must not alias a or b).
+template <typename T>
+void mul_no_unit(const TensorLevels<T>& a, const TensorLevels<T>& b,
+                 TensorLevels<T>& out) {
+  int32_t depth = (int32_t)out.levels.size();
+  for (int32_t k = depth; k >= 1; --k) {
+    auto& dst = out.levels[k - 1];
+    std::fill(dst.begin(), dst.end(), T(0));
+    for (int32_t i = 1; i < k; ++i) {
+      const auto& ai = a.levels[i - 1];
+      const auto& bj = b.levels[k - i - 1];
+      int64_t nb = (int64_t)bj.size();
+      for (int64_t p = 0; p < (int64_t)ai.size(); ++p) {
+        T av = ai[p];
+        if (av == T(0)) continue;
+        T* d = dst.data() + p * nb;
+        const T* bp = bj.data();
+        for (int64_t q = 0; q < nb; ++q) d[q] += av * bp[q];
+      }
+    }
+  }
+}
+
+// S <- S * exp(v) by Chen's identity, computed level-by-level descending so
+// lower levels of S are still the old values when used.
+template <typename T>
+void chen_mul_exp(TensorLevels<T>& S, const TensorLevels<T>& E,
+                  int64_t /*c*/) {
+  int32_t depth = (int32_t)S.levels.size();
+  for (int32_t k = depth; k >= 1; --k) {
+    auto& sk = S.levels[k - 1];
+    const auto& ek = E.levels[k - 1];
+    for (size_t p = 0; p < sk.size(); ++p) sk[p] += ek[p];
+    for (int32_t i = 1; i < k; ++i) {
+      const auto& si = S.levels[i - 1];
+      const auto& ej = E.levels[k - i - 1];
+      int64_t nb = (int64_t)ej.size();
+      for (int64_t p = 0; p < (int64_t)si.size(); ++p) {
+        T sv = si[p];
+        if (sv == T(0)) continue;
+        T* d = sk.data() + p * nb;
+        const T* ep = ej.data();
+        for (int64_t q = 0; q < nb; ++q) d[q] += sv * ep[q];
+      }
+    }
+  }
+}
+
+template <typename T>
+void segment_exp(const T* v, int64_t c, TensorLevels<T>& E) {
+  std::copy(v, v + c, E.levels[0].begin());
+  T fact = T(1);
+  for (size_t k = 2; k <= E.levels.size(); ++k) {
+    const auto& prev = E.levels[k - 2];
+    auto& cur = E.levels[k - 1];
+    fact *= (T)k;
+    // v^(k)/k! = (v^(k-1)/(k-1)!) (x) v / k
+    for (int64_t p = 0; p < (int64_t)prev.size(); ++p) {
+      T* d = cur.data() + p * c;
+      T pv = prev[p] / (T)k;
+      for (int64_t q = 0; q < c; ++q) d[q] = pv * v[q];
+    }
+  }
+}
+
+// L = log(1 + S) = S - S^2/2 + S^3/3 - ... truncated at depth.
+template <typename T>
+void tensor_log_impl(const TensorLevels<T>& S, TensorLevels<T>& L,
+                     TensorLevels<T>& power, TensorLevels<T>& tmp) {
+  int32_t depth = (int32_t)S.levels.size();
+  for (int32_t k = 1; k <= depth; ++k) L.levels[k - 1] = S.levels[k - 1];
+  power = S;
+  for (int32_t m = 2; m <= depth; ++m) {
+    mul_no_unit(power, S, tmp);
+    std::swap(power.levels, tmp.levels);
+    T coef = (T)(((m + 1) % 2 == 0) ? 1.0 : -1.0) / (T)m;
+    for (int32_t k = 1; k <= depth; ++k) {
+      auto& lk = L.levels[k - 1];
+      const auto& pk = power.levels[k - 1];
+      for (size_t p = 0; p < lk.size(); ++p) lk[p] += coef * pk[p];
+    }
+  }
+}
+
+template <typename T>
+void logsig_windows_impl(const T* x, T* out, const int64_t* boundaries,
+                         int64_t n, int64_t length, int64_t c, int32_t depth,
+                         int64_t n_windows, const int32_t* word_level,
+                         const int32_t* word_flat, int64_t n_logsig,
+                         int n_threads) {
+  parallel_for(n, n_threads, [&](int64_t row) {
+    TensorLevels<T> S(c, depth), E(c, depth), L(c, depth), P(c, depth),
+        tmp(c, depth);
+    std::vector<T> v((size_t)c);
+    const T* xr = x + row * length * c;
+    T* outr = out + row * n_windows * n_logsig;
+    for (int64_t w = 0; w < n_windows; ++w) {
+      S.zero();
+      for (int64_t j = boundaries[w]; j < boundaries[w + 1]; ++j) {
+        for (int64_t q = 0; q < c; ++q)
+          v[(size_t)q] = xr[(j + 1) * c + q] - xr[j * c + q];
+        segment_exp(v.data(), c, E);
+        chen_mul_exp(S, E, c);
+      }
+      tensor_log_impl(S, L, P, tmp);
+      for (int64_t widx = 0; widx < n_logsig; ++widx) {
+        outr[w * n_logsig + widx] =
+            L.levels[word_level[widx] - 1][(size_t)word_flat[widx]];
+      }
+    }
+  });
+}
+
+}  // namespace
+
+extern "C" {
+
+void logsig_windows_f32(const float* x, float* out, const int64_t* boundaries,
+                        int64_t n, int64_t length, int64_t c, int32_t depth,
+                        int64_t n_windows, const int32_t* word_level,
+                        const int32_t* word_flat, int64_t n_logsig,
+                        int n_threads) {
+  logsig_windows_impl(x, out, boundaries, n, length, c, depth, n_windows,
+                      word_level, word_flat, n_logsig, n_threads);
+}
+
+void logsig_windows_f64(const double* x, double* out,
+                        const int64_t* boundaries, int64_t n, int64_t length,
+                        int64_t c, int32_t depth, int64_t n_windows,
+                        const int32_t* word_level, const int32_t* word_flat,
+                        int64_t n_logsig, int n_threads) {
+  logsig_windows_impl(x, out, boundaries, n, length, c, depth, n_windows,
+                      word_level, word_flat, n_logsig, n_threads);
+}
+
+}  // extern "C"

@@ -72,11 +72,11 @@ from .fused_pallas import (
 )
 from .runge_kutta import DOPRI5, _solve_dense_midpoint
 
-MAX_TILE = 4096    # lanes per kernel call; one error norm couples one tile
+MAX_TILE = 2048    # lanes per kernel call; one error norm couples one tile
 MAX_INTERVALS = 128  # coefficient-table chunk held in VMEM per call (upper bound)
 MAX_OUT_TIMES = 64   # dense-output rows per chunk
 _STORE_CAP = 2048  # accepted-step trajectory rows (HBM, DMA-written)
-_VMEM_BUDGET = 10 * 1024 * 1024  # per-call VMEM residency target
+_VMEM_BUDGET = int(14.5 * 1024 * 1024)  # vs Mosaic's 16 MB scoped limit
 
 # Tile-vs-chunk tradeoff: a WIDE batch tile with SHORT coefficient chunks
 # beats narrow tiles with long chunks, because chunking splits the TIME axis
@@ -293,12 +293,19 @@ def _dopri_bwd_kernel(ct_ref, zst_ref, tst_ref, dtst_ref, cnt_ref, gz_ref,
 
     def stage_eval(y, tval):
         slab, fr, j = _slab_at(ct_ref, tval, t0g, w, n)
-        k, h1, g, dx = _stage_forward(y, fr, slab, w1t, b1, w2t, b2,
-                                      rep, sel, C, H)
-        return k, (y, tval, fr, j, h1, g, dx)
+        k, _h1, _g, _dx = _stage_forward(y, fr, slab, w1t, b1, w2t, b2,
+                                         rep, sel, C, H)
+        # Save only the THIN stage inputs (y: Hp rows, plus scalars): keeping
+        # every stage's h1 (W rows) live made the reverse walk's VMEM set
+        # O(stages * W * tile) — 15 MB at 4096 lanes — so wide tiles OOMed.
+        # The VJP recomputes h1/g/dx from y below (two extra dots per stage).
+        return k, (y, fr, j)
 
     def stage_vjp(u, saved):
-        y, _tval, fr, j, h1, g, dx = saved
+        y, fr, j = saved
+        slab = ct_ref[pl.ds(j * _SLAB, _SLAB), :]
+        _k, h1, g, dx = _stage_forward(y, fr, slab, w1t, b1, w2t, b2,
+                                       rep, sel, C, H)
         dy, dw1t, db1_, dw2t, db2_, ddx = _stage_backward(
             u, y, fr, h1, g, dx, w1t, w2t, rep, sel, C, H)
         dw1_ref[:, :] += dw1t
@@ -566,7 +573,6 @@ def try_fused_dopri5(X, func, z0, ts, cfg):
     if cfg.max_steps is not None and cfg.max_steps > _STORE_CAP:
         return None
     max_steps = min(cfg.max_steps or 4096, _STORE_CAP)
-    cap = max_steps
 
     # Validate field/dtype shapes once (full batch); per-group packing below.
     p_full = fused_pallas._pack_operands(X._b, X._two_c, X._three_d, z0, func,
@@ -574,17 +580,37 @@ def try_fused_dopri5(X, func, z0, ts, cfg):
     if p_full is None:
         return None
 
+    def chunk_cap(n_c):
+        # Knot-derived per-chunk step budget (sizes the t/dt VMEM stores):
+        # ~64 attempts per interval plus slack is far beyond any sane solve
+        # at these tolerances, and exhaustion stays LOUD (NaN poison).  The
+        # full-table chunk recovers the caller's budget exactly.
+        return min(max_steps, 256 + 64 * n_c)
+
     def vmem_bytes(chunks, tile):
-        # Joint VMEM residency per chunk call: coefficient chunk + its
-        # gradient, output rows + cotangents, t/dt stores, weights, scratch.
+        # Mosaic scoped-VMEM model for the BACKWARD kernel (the larger of
+        # the two), CALIBRATED against measured compiles on v5e at these
+        # field shapes (H=8, C=3, W=128):
+        #   (2048, n_c=32, cap=1280) -> 18.04 MB, (2048, 48) -> 22.04 MB,
+        #   (4096, 8, 768) -> 23.73 MB, (4096, 16) -> 27.73 MB
+        # i.e. per-lane fixed cost ~4.7 KB (the unrolled 7-stage reverse
+        # walk's live vectors + transients), ~0.7 KB per trajectory-store
+        # row, and exactly 2 * _SLAB * 4 bytes/lane per chunk interval
+        # (ct + dct blocks, single-buffered).  Larger W/CHp scale the
+        # per-lane term through the transient h1/dpre rows.
         max_chunk_n = max(c[1] - c[0] for c in chunks)
         max_chunk_out = max(max(len(c[4]), 1) for c in chunks)
-        resident_rows = 2 * max_chunk_n * _SLAB \
-            + 2 * max_chunk_out * p_full.Hp + 10 * p_full.Hp
-        return 4 * (
-            resident_rows * tile + 2 * cap * 128
-            + p_full.W * (p_full.Hp + p_full.CHp + 2)
-            + 2 * _round_up(max_chunk_out, _LANES)
+        max_cap = max(chunk_cap(c[1] - c[0]) for c in chunks)
+        per_lane_fixed = 4 * (
+            30 * p_full.Hp                       # ks/seeds/v/lam/z vectors
+            + 7 * p_full.C
+            + 2 * max_chunk_out * p_full.Hp      # gz + out cotangent rows
+            + 6 * (p_full.W + p_full.CHp)        # stage transients (meas.)
+        )
+        return (
+            tile * (per_lane_fixed + 2 * max_chunk_n * _SLAB * 4)
+            + max_cap * 700
+            + 4 * p_full.W * (p_full.Hp + p_full.CHp + 2)
         )
 
     # Widest tile first (chunking the time axis keeps the total step count at
@@ -651,11 +677,12 @@ def try_fused_dopri5(X, func, z0, ts, cfg):
         out_rows[0] = p.z0t
         for (j0, j1, t_start, t_end, out_ts, out_idx) in chunks:
             n_c = j1 - j0
+            cap_c = chunk_cap(n_c)
             ct_chunk = jax.lax.dynamic_slice_in_dim(
                 p.ct2, j0 * _SLAB, n_c * _SLAB, axis=0)
             solve = _make_fused_dopri(
                 n_c, p.Bp, out_ts, t_start, t_end, float(grid[j0]), w,
-                float(cfg.rtol), float(cfg.atol), int(max_steps), int(cap),
+                float(cfg.rtol), float(cfg.atol), int(cap_c), int(cap_c),
                 C, H, p.W, p.CHp, p.B, float(cfg.safety), float(cfg.ifactor),
                 float(cfg.dfactor), interpret)
             zout, z_carry, dt_fin = solve(

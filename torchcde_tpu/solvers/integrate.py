@@ -193,6 +193,19 @@ def _integrate_adaptive_dense(rhs, z0, ts, dt0, state0, cfg, stepper, max_steps,
             # Land exactly on derivative discontinuities (the torchdiffeq
             # options={'jump_t': ...} capability, reference README.md:240-249).
             dt_clamped = jnp.minimum(dt_clamped, _next_jump(jump_t, t) - t)
+        if stepper.order > 5:
+            # The shared dense-output interpolant is quartic — the standard
+            # companion for dopri5 (its O(h^5) interpolation error matches
+            # the method's local error; torchdiffeq ships the same pairing)
+            # and more than enough for order <= 3 methods, but for dopri8 a
+            # mid-step readout would silently degrade the solution to 4th
+            # order.  For such methods clamp steps to land exactly on
+            # output times instead — every emitted row is then an exact
+            # solver state at full method order (theta == 1, where the
+            # quartic reproduces z1 identically), costing at most len(ts)
+            # extra step boundaries rather than extra stage evaluations.
+            # (was_clamped below already preserves the dt proposal.)
+            dt_clamped = jnp.minimum(dt_clamped, _next_jump(ts, t) - t)
         # Freeze the step sequence for reverse AD: differentiating through the
         # controller (err -> dt -> z) injects the solver's non-smooth
         # step-selection noise into otherwise-smooth gradients (measured 100x
