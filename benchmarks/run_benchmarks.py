@@ -414,7 +414,12 @@ def bench_per_sample():
     import jax, jax.numpy as jnp
     import torchcde_tpu as tc
 
-    batch, length, hidden = (256, 100, 8) if jax.devices()[0].platform == "tpu" else (16, 30, 4)
+    from torchcde_tpu.solvers import fused_pallas
+    from torchcde_tpu.solvers.terms import MLPVectorField
+
+    batch, length, hidden, width = (
+        (256, 100, 8, 32) if jax.devices()[0].platform == "tpu"
+        else (16, 30, 4, 8))
     rng = np.random.default_rng(0)
     x = rng.standard_normal((batch, length, 3)).astype(np.float32)
     # Magnitude spread -> genuinely different per-sample step counts.
@@ -422,20 +427,28 @@ def bench_per_sample():
     coeffs = jax.jit(tc.hermite_cubic_coefficients_with_backward_differences)(
         jnp.asarray(x))
     X = tc.CubicSpline(coeffs)
-    W = jnp.asarray(rng.standard_normal((hidden, 3)) * 0.2, jnp.float32)
-
-    def func(t, z):
-        return jnp.tanh(z)[..., None] * W
-
+    w1 = jnp.asarray(rng.standard_normal((hidden, width)) * 0.2, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal((width,)) * 0.2, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((width, hidden * 3)) * 0.2, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal((hidden * 3,)) * 0.2, jnp.float32)
+    func = MLPVectorField(w1, b1, w2, b2, hidden, 3)
     z0j = jnp.asarray(rng.standard_normal((batch, hidden)), jnp.float32)
 
     def op(z0_, c_):
         Xl = tc.CubicSpline(c_)
         return tc.cdeint(X=Xl, func=func, z0=z0_, t=Xl.interval,
-                         method="dopri5", adjoint=False, max_steps=4096,
+                         method="dopri5", adjoint=False, max_steps=2048,
                          options=dict(per_sample=True))[..., -1, :]
 
+    # Default dispatch: the fused per-lane Pallas kernel
+    # (solvers/fused_dopri_persample.py) on TPU.
     t = _chained_time(op, z0j, reps=4, extras=(coeffs,))
+    # The round-3 formulation: vmapped per-stage XLA dispatches.
+    fused_pallas.force_fused_pallas(False)
+    try:
+        t_xla = _chained_time(op, z0j, reps=4, extras=(coeffs,))
+    finally:
+        fused_pallas.force_fused_pallas(None)
 
     _, stats_ps = tc.cdeint(X=X, func=func, z0=z0j, t=X.interval,
                             method="dopri5", adjoint=False, max_steps=4096,
@@ -448,6 +461,8 @@ def bench_per_sample():
     return _annotate(
         {"metric": f"per-sample dopri5 solve (batch {batch}, mixed stiffness)",
          "value": round(1e3 * t, 3), "unit": "ms",
+         "xla_path_ms": round(1e3 * t_xla, 3),
+         "fused_speedup_vs_xla_path": round(t_xla / t, 2),
          "nfe_per_sample_mean": round(float(nfe_ps.mean()), 1),
          "nfe_per_sample_max": int(nfe_ps.max()),
          "nfe_batch_norm": nfe_bn,

@@ -235,3 +235,91 @@ def test_force_fused_survives_per_sample():
         assert fused_pallas._FORCE is True
     finally:
         fused_pallas.force_fused_pallas(None)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("adjoint", [False, True])
+def test_fused_per_sample_kernel_matches_xla_path(adjoint):
+    """The fused per-lane dopri5 kernel (fused_dopri_persample.py, interpret
+    mode here) vs the vmapped XLA per-sample path: same per-sample
+    controller design, different f32 realisations of the mesh — values
+    agree to solution accuracy and gradients flow to z0/params/coeffs."""
+    from torchcde_tpu.solvers import fused_pallas
+    from torchcde_tpu.solvers.terms import MLPVectorField
+
+    B, L, C, H, W = 4, 7, 3, 4, 8
+    x = rng.standard_normal((B, L, C))
+    x *= (10.0 ** np.linspace(-0.4, 0.4, B))[:, None, None]
+    coeffs = torchcde_tpu.hermite_cubic_coefficients_with_backward_differences(
+        jnp.asarray(x).astype(jnp.float32))
+    w1 = jnp.asarray(rng.standard_normal((H, W)) * 0.3, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal((W,)) * 0.3, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((W, H * C)) * 0.3, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal((H * C,)) * 0.3, jnp.float32)
+    z0 = jnp.asarray(rng.standard_normal((B, H)).astype(np.float32))
+    t = np.asarray([0.0, 2.5, 6.0])
+
+    def loss(args, coeffs, use_fused):
+        z0_, w1_, b1_, w2_, b2_ = args
+        fused_pallas.force_fused_pallas(True if use_fused else False)
+        try:
+            X = torchcde_tpu.CubicSpline(coeffs)
+            field = MLPVectorField(w1_, b1_, w2_, b2_, H, C)
+            out = torchcde_tpu.cdeint(
+                X=X, func=field, z0=z0_, t=t, adjoint=adjoint,
+                method="dopri5", rtol=1e-6, atol=1e-8,
+                options=dict(per_sample=True))
+        finally:
+            fused_pallas.force_fused_pallas(None)
+        return jnp.sum(jnp.sin(out)), out
+
+    args = (z0, w1, b1, w2, b2)
+    (_, out_ref), g_ref = jax.value_and_grad(loss, argnums=0, has_aux=True)(
+        args, coeffs, False)
+    (_, out_fp), g_fp = jax.value_and_grad(loss, argnums=0, has_aux=True)(
+        args, coeffs, True)
+    assert out_fp.shape == out_ref.shape == (B, 3, H)
+    np.testing.assert_allclose(np.asarray(out_fp), np.asarray(out_ref),
+                               rtol=2e-3, atol=2e-3)
+    # Gradients: frozen-mesh on slightly different meshes -> a few-percent
+    # relative-norm agreement per leaf.
+    for a, b in zip(jax.tree_util.tree_leaves(g_fp),
+                    jax.tree_util.tree_leaves(g_ref)):
+        a, b = np.asarray(a, np.float64).ravel(), np.asarray(b, np.float64).ravel()
+        denom = max(float(np.linalg.norm(b)), 1e-8)
+        assert float(np.linalg.norm(a - b)) / denom < 0.05, (a, b)
+
+
+@pytest.mark.slow
+def test_fused_per_sample_coefficient_gradients():
+    from torchcde_tpu.solvers import fused_pallas
+    from torchcde_tpu.solvers.terms import MLPVectorField
+
+    B, L, C, H, W = 3, 6, 2, 3, 8
+    x = rng.standard_normal((B, L, C)).astype(np.float32)
+    coeffs = torchcde_tpu.hermite_cubic_coefficients_with_backward_differences(
+        jnp.asarray(x))
+    w1 = jnp.asarray(rng.standard_normal((H, W)) * 0.3, jnp.float32)
+    b1 = jnp.zeros((W,), jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((W, H * C)) * 0.3, jnp.float32)
+    b2 = jnp.zeros((H * C,), jnp.float32)
+    z0 = jnp.asarray(rng.standard_normal((B, H)).astype(np.float32))
+    field = MLPVectorField(w1, b1, w2, b2, H, C)
+    t = np.asarray([0.0, 5.0])
+
+    def loss(coeffs, use_fused):
+        fused_pallas.force_fused_pallas(True if use_fused else False)
+        try:
+            X = torchcde_tpu.CubicSpline(coeffs)
+            out = torchcde_tpu.cdeint(
+                X=X, func=field, z0=z0, t=t, adjoint=False, method="dopri5",
+                rtol=1e-5, atol=1e-7, options=dict(per_sample=True))
+        finally:
+            fused_pallas.force_fused_pallas(None)
+        return jnp.sum(out[..., -1, :])
+
+    gc_fp = jax.grad(loss)(coeffs, True)
+    gc_ref = jax.grad(loss)(coeffs, False)
+    a = np.asarray(gc_fp, np.float64).ravel()
+    b = np.asarray(gc_ref, np.float64).ravel()
+    assert np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-8) < 0.05

@@ -541,6 +541,30 @@ def _cdeint_per_sample(X, func, z0, t, *, adjoint, backend, method, rtol, atol,
                 raise ValueError("t must be monotonically increasing.")
         t_axis = 0
 
+    # Fused per-lane kernel (solvers/fused_dopri_persample.py): the whole
+    # per-sample controlled integration in one Pallas program — per-lane
+    # t/dt/accept as lane vectors — instead of a vmap of per-stage XLA
+    # dispatches.  Serves adjoint=True too when the adjoint tolerances
+    # mirror the forward's (its frozen-mesh exact-reverse gradients are
+    # within the adjoint's memory contract, like the whole-batch kernels).
+    # Declines (None) off-TPU, for non-dopri5 methods, jump_t, batched t,
+    # stats collection, or outside its caps.
+    if (method == "dopri5" and jump_t is None and t_axis is None
+            and not return_stats and step_size is None
+            and (not adjoint
+                 or (adjoint_params is None and adjoint_method == method
+                     and adjoint_rtol == rtol and adjoint_atol == atol
+                     and adjoint_step_size is None))):
+        from .fused_dopri_persample import try_fused_dopri5_per_sample
+
+        out = try_fused_dopri5_per_sample(
+            Xf, func, z0f, t, rtol=rtol, atol=atol, max_steps=max_steps)
+        if out is not None:
+            out = jnp.moveaxis(out, 0, -2)  # (B, len(t), H)
+            return jax.tree_util.tree_map(
+                lambda o: jnp.reshape(o, batch_shape + o.shape[1:]), out
+            )
+
     if adjoint:
         if return_stats:
             raise ValueError(
