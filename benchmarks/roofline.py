@@ -85,7 +85,14 @@ def annotate(result, t_seconds, cost, per_iter=1, attainable_tflops=None):
     mxu_frac = tflops / peaks["tflops_bf16"]
     hbm_frac = gbps / peaks["hbm_gbps"]
     result["pct_peak_mxu"] = round(100 * mxu_frac, 2)
-    result["pct_peak_hbm"] = round(100 * hbm_frac, 2)
+    if hbm_frac <= 1.0:
+        result["pct_peak_hbm"] = round(100 * hbm_frac, 2)
+    else:
+        # Fusion-boundary bytes over HBM peak are NOT an achieved HBM
+        # fraction — keep the impossible number out of pct_peak_hbm and
+        # report it as what it is: an upper bound on HBM pressure.
+        result["fusion_bytes_pct_of_hbm_peak_upper_bound"] = round(
+            100 * hbm_frac, 2)
     if attainable_tflops:
         result["attainable_tflops"] = round(attainable_tflops, 1)
         result["pct_attainable_mxu"] = round(100 * tflops / attainable_tflops, 1)

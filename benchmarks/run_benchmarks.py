@@ -35,9 +35,22 @@ import roofline  # noqa: E402  (benchmarks/roofline.py)
 _LAST_COST = (None, 1)
 
 
-def _annotate(result, t_seconds):
+def _annotate(result, t_seconds, attainable_tflops=None):
     cost, per_iter = _LAST_COST
-    return roofline.annotate(result, t_seconds, cost, per_iter=per_iter)
+    return roofline.annotate(result, t_seconds, cost, per_iter=per_iter,
+                             attainable_tflops=attainable_tflops)
+
+
+def _mlp_attainable_tflops(H, C, W):
+    """Thin-operand attainable MXU rate for the MLP-field stage/VJP op mix
+    (benchmarks/traffic_model.py) on the current chip, or None."""
+    import traffic_model
+
+    peaks = roofline._peak_for(roofline.chip_kind())
+    if peaks is None:
+        return None
+    model = traffic_model.flagship_model(batch=1, n_intervals=1, H=H, C=C, W=W)
+    return peaks["tflops_bf16"] * model["attainable_frac"]
 
 
 def _force(out):
@@ -204,7 +217,9 @@ def bench_spiral():
     _LAST_COST = (cost, reps)
     return _annotate(
         {"metric": "spiral train step (hermite+dopri5 adjoint, batch 256, len 100)",
-         "value": round(1e3 * t, 3), "unit": "ms", **extra}, t)
+         "value": round(1e3 * t, 3), "unit": "ms", **extra}, t,
+        attainable_tflops=_mlp_attainable_tflops(
+            cfg.hidden_channels, cfg.input_channels, cfg.width))
 
 
 def bench_spiral_dopri_adjoint():
@@ -234,7 +249,9 @@ def bench_spiral_dopri_adjoint():
     _LAST_COST = (cost, reps)
     return _annotate(
         {"metric": "spiral train step (hermite+dopri5 adjoint, batch 4096, len 100)",
-         "value": round(1e3 * t, 3), "unit": "ms", **extra}, t)
+         "value": round(1e3 * t, 3), "unit": "ms", **extra}, t,
+        attainable_tflops=_mlp_attainable_tflops(
+            cfg.hidden_channels, cfg.input_channels, cfg.width))
 
 
 def bench_irregular():
@@ -372,9 +389,13 @@ def bench_seq_pcr():
 
     b = jnp.asarray(rng.standard_normal((batch, k)), jnp.float32)
     t = _chained_time(op, b, reps=4, extras=(u, d, l))
-    return _annotate(
-        {"metric": f"seq-sharded tridiagonal solve ({batch}x{k}, {model} shard(s))",
-         "value": round(1e3 * t, 3), "unit": "ms"}, t)
+    res = {"metric": f"seq-sharded tridiagonal solve ({batch}x{k}, {model} shard(s))",
+           "value": round(1e3 * t, 3), "unit": "ms"}
+    if model == 1:
+        res["note"] = ("collectives untimed: 1 real chip, so the ppermute "
+                       "halo-exchange path is CPU-mesh-tested (tests/"
+                       "test_parallel.py) but not timed here")
+    return _annotate(res, t)
 
 
 def bench_seq_masked():
@@ -399,10 +420,14 @@ def bench_seq_masked():
 
     t = _chained_time(jax.jit(op), xj, reps=4)
     gbytes = x.nbytes / 1e9
-    return _annotate(
-        {"metric": f"seq-sharded NaN cubic fit ({batch}x{length}, {model} shard(s))",
-         "value": round(1e3 * t, 3), "unit": "ms",
-         "gb_per_s": round(gbytes / t, 2)}, t)
+    res = {"metric": f"seq-sharded NaN cubic fit ({batch}x{length}, {model} shard(s))",
+           "value": round(1e3 * t, 3), "unit": "ms",
+           "gb_per_s": round(gbytes / t, 2)}
+    if model == 1:
+        res["note"] = ("collectives untimed: 1 real chip, so the ppermute "
+                       "halo-exchange path is CPU-mesh-tested (tests/"
+                       "test_parallel.py) but not timed here")
+    return _annotate(res, t)
 
 
 def bench_per_sample():

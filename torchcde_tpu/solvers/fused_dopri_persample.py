@@ -102,7 +102,7 @@ def _lane_dx(ct3, iota_n, tval, t0g, w, n, C):
 
 def _psd_fwd_kernel(ct_ref, z0_ref, w1_ref, b1_ref, w2_ref, b2_ref, dt0_ref,
                     zout_ref, zfin_ref, nacc_ref, natt_ref, zst_ref, aux_ref,
-                    cnt_ref, z_scr, k1_scr, aux_scr, dma_sem, aux_sem,
+                    cnt_ref, z_scr, k1_scr, aux_scr, ctl_scr, dma_sem, aux_sem,
                     *, out_ts, t_start, t_end, t0g, w, n, rtol, atol,
                     max_steps, cap, C, H, B, safety, ifactor, dfactor):
     Hp = z0_ref.shape[0]
@@ -133,13 +133,28 @@ def _psd_fwd_kernel(ct_ref, z0_ref, w1_ref, b1_ref, w2_ref, b2_ref, dt0_ref,
     for k in range(max(n_out, 1)):
         zout_ref[pl.ds(k * Hp, Hp), :] = z0
 
+    # Controller lane-rows live in a VMEM scratch block, NOT the while
+    # carry: (1, tile) vectors in the carry trip a Mosaic relayout bug at
+    # the loop back-edge ("Non-singleton logical dimension is replicated in
+    # destination but not in source").  The carry holds only scalars
+    # (iteration count + a do-while continue flag).
+    ctl_scr[0:1, :] = t0v                      # t per lane
+    ctl_scr[1:2, :] = dt0_ref[:, :]            # dt proposal per lane
+    ctl_scr[2:3, :] = jnp.zeros((1, tile), jnp.float32)  # attempted
+    ctl_scr[3:4, :] = jnp.zeros((1, tile), jnp.float32)  # accepted
+    ctl_scr[4:_AUX_ROWS, :] = jnp.zeros((_AUX_ROWS - 4, tile), jnp.float32)
+
     def cond(carry):
-        i, t_l, _dt, att, _acc = carry
-        active = (t_l < t1) & (att < max_steps)
-        return (i < cap) & jnp.any(active)
+        i, go = carry
+        return (i < cap) & go
 
     def body(carry):
-        i, t_l, dt_l, att, acc = carry
+        i, _go = carry
+        ctl = ctl_scr[:, :]
+        t_l = ctl[0:1, :]
+        dt_l = ctl[1:2, :]
+        att = ctl[2:3, :]
+        acc = ctl[3:4, :]
         active = (t_l < t1) & (att < max_steps)
         z = z_scr[:, :]
         k1 = k1_scr[:, :]
@@ -216,20 +231,24 @@ def _psd_fwd_kernel(ct_ref, z0_ref, w1_ref, b1_ref, w2_ref, b2_ref, dt0_ref,
         z_scr[:, :] = jnp.where(accept, z1, z)
         k1_scr[:, :] = jnp.where(accept, ks[-1], k1)
         t_new = jnp.where(accept, t_l + dt_c, t_l)
-        att = att + active.astype(jnp.int32)
-        acc = acc + accept.astype(jnp.int32)
-        return (i + 1, t_new, dt_next, att, acc)
+        att_new = att + jnp.where(active, 1.0, 0.0)
+        acc_new = acc + acceptf
+        ctl_scr[0:1, :] = t_new
+        ctl_scr[1:2, :] = dt_next
+        ctl_scr[2:3, :] = att_new
+        ctl_scr[3:4, :] = acc_new
+        still = (t_new < t1) & (att_new < max_steps)
+        return (i + 1, jnp.any(still))
 
-    zero_row = jnp.zeros((1, tile), jnp.int32)
-    i_fin, t_fin, _dt, att, acc = jax.lax.while_loop(
-        cond, body, (jnp.zeros((), jnp.int32), t0v, dt0_ref[:, :],
-                     zero_row, zero_row))
+    go0 = jnp.any((t0v < t1))
+    i_fin, _go = jax.lax.while_loop(
+        cond, body, (jnp.zeros((), jnp.int32), go0))
     cnt_ref[0, 0] = i_fin
-    nacc_ref[:, :] = acc
-    natt_ref[:, :] = att
+    nacc_ref[:, :] = ctl_scr[3:4, :]
+    natt_ref[:, :] = ctl_scr[2:3, :]
 
     # LOUD per-lane exhaustion: poison only the lanes whose budget ran out.
-    bad = t_fin < t1
+    bad = ctl_scr[0:1, :] < t1
     nanv = jnp.float32(jnp.nan)
     zfin_ref[:, :] = jnp.where(bad, nanv, z_scr[:, :])
     for k in range(max(n_out, 1)):
@@ -396,8 +415,8 @@ def _make_fused_dopri_ps(n, tile, out_ts, t_start, t_end, t0g, w, rtol, atol,
         out_shape=(
             jax.ShapeDtypeStruct((n_out_rows * Hp, tile), jnp.float32),  # zout
             jax.ShapeDtypeStruct((Hp, tile), jnp.float32),   # z final
-            jax.ShapeDtypeStruct((1, tile), jnp.int32),      # accepted/lane
-            jax.ShapeDtypeStruct((1, tile), jnp.int32),      # attempted/lane
+            jax.ShapeDtypeStruct((1, tile), jnp.float32),    # accepted/lane
+            jax.ShapeDtypeStruct((1, tile), jnp.float32),    # attempted/lane
             jax.ShapeDtypeStruct((cap * Hp, tile), jnp.float32),       # z store
             jax.ShapeDtypeStruct((cap * _AUX_ROWS, tile), jnp.float32),  # aux
             jax.ShapeDtypeStruct((1, 1), jnp.int32),         # iterations
@@ -406,6 +425,7 @@ def _make_fused_dopri_ps(n, tile, out_ts, t_start, t_end, t0g, w, rtol, atol,
         out_specs=(vspec, vspec, vspec, vspec, hbm, hbm, smem_scalar),
         scratch_shapes=[pltpu.VMEM((Hp, tile), jnp.float32),
                         pltpu.VMEM((Hp, tile), jnp.float32),
+                        pltpu.VMEM((_AUX_ROWS, tile), jnp.float32),
                         pltpu.VMEM((_AUX_ROWS, tile), jnp.float32),
                         pltpu.SemaphoreType.DMA(()),
                         pltpu.SemaphoreType.DMA(())],
