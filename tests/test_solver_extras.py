@@ -345,3 +345,41 @@ def test_exhausted_budget_is_loud():
     bad_adj = torchcde_tpu.cdeint(X, f, z0, X.interval, adjoint=True,
                                   method="dopri5", max_steps=2)
     assert np.isnan(np.asarray(bad_adj)[..., -1, :]).all()
+
+
+def test_heun3_third_order_convergence():
+    # torchdiffeq's fixed-grid "heun3": halving the step must cut the error
+    # by ~8x (3rd order) against a tight rk4 reference.
+    X, f, z0 = _problem()
+    ref = torchcde_tpu.cdeint(X, f, z0, X.interval, adjoint=False,
+                              method="rk4", options=dict(step_size=0.005))
+    errs = []
+    for h in (0.4, 0.2, 0.1):
+        out = torchcde_tpu.cdeint(X, f, z0, X.interval, adjoint=False,
+                                  method="heun3", options=dict(step_size=h))
+        errs.append(float(jnp.max(jnp.abs(out - ref))))
+    assert errs[0] / errs[1] > 5.0 and errs[1] / errs[2] > 5.0, errs
+
+
+def test_scipy_solver_backend():
+    # torchdiffeq's method="scipy_solver" escape hatch: host-side
+    # solve_ivp stepping with the options={"solver": ...} passthrough.
+    X, f, z0 = _problem()
+    ref = torchcde_tpu.cdeint(X, f, z0, X.interval, adjoint=False,
+                              method="dopri5", rtol=1e-8, atol=1e-10)
+    for solver in ("RK45", "LSODA"):
+        out = torchcde_tpu.cdeint(
+            X, f, z0, X.interval, adjoint=False, method="scipy_solver",
+            rtol=1e-8, atol=1e-10, options=dict(solver=solver))
+        assert out.shape == ref.shape
+        assert np.allclose(np.asarray(out), np.asarray(ref), atol=1e-5), solver
+
+
+def test_scipy_solver_rejects_traced_and_adjoint():
+    X, f, z0 = _problem()
+    with pytest.raises(ValueError, match="host-side"):
+        jax.jit(lambda z: torchcde_tpu.cdeint(
+            X, f, z, X.interval, adjoint=False, method="scipy_solver"))(z0)
+    with pytest.raises(ValueError, match="adjoint=False"):
+        torchcde_tpu.cdeint(X, f, z0, X.interval, adjoint=True,
+                            method="scipy_solver")

@@ -15,11 +15,12 @@ from .neural_cde import NeuralCDEConfig, bce_with_logits, neural_cde_apply
 
 def make_loss_fn(cfg: NeuralCDEConfig):
     def loss_fn(params, coeffs, labels):
-        # Loss math in f32 even under a bf16 compute_dtype (standard
-        # mixed-precision discipline: log1p/exp in bf16 lose the loss signal).
+        # Loss math in AT LEAST f32 even under a bf16 compute_dtype
+        # (standard mixed-precision discipline: log1p/exp in bf16 lose the
+        # loss signal); f64 models keep their f64 loss.
         logits = neural_cde_apply(params, cfg, coeffs)[..., 0]
-        return bce_with_logits(logits.astype(jnp.float32),
-                               labels.astype(jnp.float32))
+        ldt = jnp.promote_types(logits.dtype, jnp.float32)
+        return bce_with_logits(logits.astype(ldt), labels.astype(ldt))
 
     return loss_fn
 

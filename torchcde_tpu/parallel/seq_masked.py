@@ -365,6 +365,8 @@ def natural_cubic_coeffs_seq_sharded(x, t, mesh, axis="model",
     f = jax.shard_map(
         body, mesh=mesh, in_specs=(spec, spec),
         out_specs=(spec, spec, spec, spec),
+        # See seq_pcr: pallas_call inside shard_map vs jax 0.9's check_vma.
+        check_vma=False,
     )
     a, b, two_c, three_d = f(t_b, xT)
 

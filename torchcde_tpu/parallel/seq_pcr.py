@@ -210,6 +210,10 @@ def tridiagonal_solve_seq_sharded(
         mesh=mesh,
         in_specs=(spec, spec, spec, spec),
         out_specs=spec,
+        # The per-shard body dispatches a pallas_call on TPU, whose
+        # ShapeDtypeStruct carries no varying-mesh-axes annotation; jax 0.9's
+        # default check_vma=True rejects that combination outright.
+        check_vma=False,
     )
     x = f(b, up, lo, d)
     return x[..., :k] if pad else x

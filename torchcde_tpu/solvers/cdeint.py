@@ -34,8 +34,9 @@ from .adjoint import odeint_adjoint
 from .integrate import SolverConfig, odeint
 from .terms import make_cde_rhs
 
-_FIXED_METHODS = ("euler", "midpoint", "heun", "rk4", "reversible_heun",
-                  "explicit_adams", "implicit_adams", "fixed_adams")
+_FIXED_METHODS = ("euler", "midpoint", "heun", "heun3", "rk4",
+                  "reversible_heun", "explicit_adams", "implicit_adams",
+                  "fixed_adams")
 
 
 def _shape(x):
@@ -252,6 +253,7 @@ def cdeint(X, func, z0, t, adjoint=True, backend="native", **kwargs):
         step_size = dt
     jump_t = options.pop("jump_t", None)
     per_sample = options.pop("per_sample", False)
+    scipy_solver_name = options.pop("solver", None)  # scipy_solver's option
     if options:
         warnings.warn(f"Ignoring unsupported solver options: {sorted(options)}")
 
@@ -309,6 +311,17 @@ def cdeint(X, func, z0, t, adjoint=True, backend="native", **kwargs):
         _check_compatability(X, func, z0, jnp.reshape(t, (-1, t.shape[-1]))[0])
     else:
         _check_compatability(X, func, z0, t)
+
+    if method == "scipy_solver":
+        # torchdiffeq's host-side escape hatch (method="scipy_solver",
+        # options={"solver": "RK45"|"LSODA"|...}): delegate stepping to
+        # scipy.integrate.solve_ivp.  Offline/debug capability parity only —
+        # it runs EAGERLY on the host (each vector-field evaluation is a
+        # dispatched device call), requires concrete inputs, and supports no
+        # gradients; every production path uses the native compiled solvers.
+        return _cdeint_scipy(X, func, z0, t, rtol=rtol, atol=atol,
+                             solver=scipy_solver_name or "RK45",
+                             adjoint=adjoint, return_stats=return_stats)
 
     if per_sample:
         # torchode-style per-sample adaptive stepping (torchode,
@@ -465,6 +478,52 @@ def cdeint(X, func, z0, t, adjoint=True, backend="native", **kwargs):
     if return_stats:
         return out, stats
     return out
+
+
+def _cdeint_scipy(X, func, z0, t, *, rtol, atol, solver, adjoint,
+                  return_stats):
+    """``method="scipy_solver"``: host-side stepping via
+    scipy.integrate.solve_ivp (torchdiffeq's ScipyWrapperODESolver
+    capability, consumed through the reference's ``method=`` passthrough at
+    solver.py:226-227).  The whole batch flattens into one ODE system, like
+    torchdiffeq's wrapper.  Eager and gradient-free by construction."""
+    import scipy.integrate
+
+    if isinstance(z0, tuple):
+        raise ValueError(
+            "scipy_solver supports a single tensor state (got a tuple).")
+    if return_stats:
+        raise ValueError("scipy_solver does not collect solver statistics.")
+    if adjoint:
+        raise ValueError(
+            "scipy_solver runs on the host without a differentiable graph; "
+            "use adjoint=False (gradients are not supported)."
+        )
+    leaves = jax.tree_util.tree_leaves((X, z0, t))
+    if not all(is_concrete(l) for l in leaves):
+        raise ValueError(
+            "scipy_solver is a host-side (eager) backend and requires "
+            "concrete inputs; call it outside jit/grad."
+        )
+    rhs = make_cde_rhs(func, X)
+    z0 = jnp.asarray(z0)
+    shape = z0.shape
+    dtype = z0.dtype
+    t_np = np.asarray(t, dtype=np.float64)
+
+    def rhs_np(tt, yy):
+        z = jnp.asarray(yy.reshape(shape), dtype=dtype)
+        dz = rhs(jnp.asarray(tt, dtype=dtype), z)
+        return np.asarray(dz, dtype=np.float64).ravel()
+
+    sol = scipy.integrate.solve_ivp(
+        rhs_np, (t_np[0], t_np[-1]), np.asarray(z0, np.float64).ravel(),
+        t_eval=t_np, rtol=rtol, atol=atol, method=solver,
+    )
+    if not sol.success:
+        raise RuntimeError(f"scipy_solver ({solver}) failed: {sol.message}")
+    out = jnp.asarray(sol.y.T.reshape((len(t_np),) + shape), dtype=dtype)
+    return jnp.moveaxis(out, 0, -2)
 
 
 def _cdeint_per_sample(X, func, z0, t, *, adjoint, backend, method, rtol, atol,

@@ -66,6 +66,15 @@ HEUN = ButcherTableau(
     alpha=(1.0,), beta=((1.0,),), c_sol=(0.5, 0.5), c_error=None, order=2
 )
 
+# Heun's third-order method (torchdiffeq's fixed-grid "heun3").
+HEUN3 = ButcherTableau(
+    alpha=(1 / 3, 2 / 3),
+    beta=((1 / 3,), (0.0, 2 / 3)),
+    c_sol=(0.25, 0.0, 0.75),
+    c_error=None,
+    order=3,
+)
+
 RK4 = ButcherTableau(
     alpha=(0.5, 0.5, 1.0),
     beta=((0.5,), (0.0, 0.5), (0.0, 0.0, 1.0)),
@@ -417,6 +426,7 @@ STEPPERS = {
     "euler": _make_rk_stepper(EULER),
     "midpoint": _make_rk_stepper(MIDPOINT),
     "heun": _make_rk_stepper(HEUN),
+    "heun3": _make_rk_stepper(HEUN3),
     "rk4": _make_rk_stepper(RK4),
     "bosh3": _make_rk_stepper(BOSH3),
     "dopri5": _make_dopri5_fsal(),
