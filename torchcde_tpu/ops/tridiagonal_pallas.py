@@ -54,12 +54,16 @@ def _choose_gsize(k):
     """Interleave factor G: PCR runs log2(G) levels, Thomas runs k/G slabs.
 
     More PCR levels cost ~18 full-block vector ops each; more slabs cost loop
-    overhead on thinner work.  Aiming the slab count m at ~16 balances the two
-    on current TPUs (measured flat within ~15% for m in 8..32 at k = 512).
+    overhead on thinner work.  G is never below a full lane tile (128):
+    current Mosaic toolchains reject dynamic lane-dimension stores whose
+    offset is not provably a multiple of 128, so the Thomas sweep's per-slab
+    output stores (``out_ref[:, pl.ds(q * G, G)]``) must be lane-aligned —
+    the earlier sub-lane slabs (G down to 1) no longer compile on TPU.
     """
-    if k <= 16:
-        return 1
-    g = 1 << max(3, int(round(np.log2(max(k // 16, 8)))))
+    if k <= 128:
+        # One slab after padding: the only store sits at lane offset 0.
+        return 1 << int(np.ceil(np.log2(max(k, 2))))
+    g = 1 << max(7, int(round(np.log2(max(k // 16, 8)))))
     return int(min(g, 256, 1 << int(np.floor(np.log2(k)))))
 
 
