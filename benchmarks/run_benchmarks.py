@@ -92,13 +92,16 @@ def _slope_time(make_run, args, k1, k2, rounds=5):
     return float(np.median(slopes))
 
 
-def _chained_time(op, x, reps=8, extras=()):
+def _chained_time(op, x, reps=8, extras=(), unroll=False):
     """Per-iteration time of a jitted op with a forced serial dependency
     between iterations, slope-timed (see ``_slope_time``).  ``op`` must map
     (x, *extras) -> array; pass large side inputs through ``extras`` so they
     stay jit *arguments* (closed-over device arrays are serialised as
     program constants by the remote-compile tunnel).  ``reps`` sets the
-    longer scan length."""
+    longer scan length.  ``unroll=True`` chains by a Python loop instead of
+    ``lax.scan`` — needed for ops containing the VMEM-resident fit kernel,
+    whose Mosaic compile inside a scan body is pathological (~6 min cold vs
+    seconds unrolled; see docs/DESIGN.md)."""
     import jax
     import jax.numpy as jnp
 
@@ -109,6 +112,11 @@ def _chained_time(op, x, reps=8, extras=()):
                 bump = jnp.sum(y) * jnp.asarray(1e-20, x0.dtype)
                 return x0 + bump.astype(x0.dtype), None
 
+            if unroll:
+                acc = x0
+                for _ in range(k):
+                    acc, _unused = body(acc, None)
+                return acc
             final, _ = jax.lax.scan(body, x0, None, length=k)
             return final
 
@@ -295,7 +303,7 @@ def bench_cubic_fit(batch=8192, length=4096, channels=1):
     x = rng.standard_normal((batch, length, channels)).astype(np.float32)
     x[rng.random(x.shape) < 0.2] = np.nan
     xj = jnp.asarray(x)
-    t = _chained_time(tc.natural_cubic_coeffs, xj, reps=4)
+    t = _chained_time(tc.natural_cubic_coeffs, xj, reps=4, unroll=True)
     gbytes = x.nbytes / 1e9
     return _annotate(
         {"metric": f"natural cubic NaN-masked fit ({batch}x{length}x{channels})",

@@ -184,6 +184,63 @@ def test_full_matches_dispatching_entry():
                 err_msg=f"v{version} {name}")
 
 
+# --------------------------------------------------------------------------
+# VMEM-resident single-launch path (ops/masked_cubic_resident.py): the
+# default natural_cubic_coeffs route on TPU when the time axis fits VMEM —
+# same contract as masked_natural_cubic_full, 5 HBM passes instead of 31.
+# Interpret mode runs the same four-phase kernel body under the Pallas
+# interpreter (wb=8, one sub-slice per 128-row slice).
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("version", [0, 1])
+@pytest.mark.parametrize("shape", [(4, 37), (3, 300)])
+def test_resident_random_nan_patterns(version, shape):
+    from torchcde_tpu.ops.masked_cubic_resident import (
+        masked_natural_cubic_resident,
+    )
+
+    x = rng.standard_normal(shape).astype(np.float32)
+    x[rng.random(shape) < 0.3] = np.nan
+    x[:, shape[-1] // 2] = rng.standard_normal(shape[0])  # >=1 obs per row
+    t = np.cumsum(0.5 + rng.random(shape[-1])).astype(np.float32)
+    tj, xj = jnp.asarray(t), jnp.asarray(x)
+    ref = _masked_coeffs_xla(tj, _impute_endpoints(xj, version))
+    got = masked_natural_cubic_resident(tj, xj, version, interpret=True)
+    got = tuple(v[..., :-1] for v in got)
+    for name, r, g in zip(("a", "b", "two_c", "three_d"), ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=f"v{version} {name}")
+
+
+def test_resident_degenerate_rows_and_multislice():
+    # Degenerate observation counts plus a length spanning several 128-row
+    # resident slices (the fori_loop carry chaining across slices).
+    from torchcde_tpu.ops.masked_cubic_resident import (
+        masked_natural_cubic_resident,
+    )
+
+    L = 300
+    x = rng.standard_normal((5, L)).astype(np.float32)
+    x[1, :] = np.nan
+    x[1, 31] = 1.5  # single observation
+    x[2, :] = np.nan
+    x[2, 10] = -1.0
+    x[2, 250] = 2.0  # two observations spanning slices
+    x[3, ::7] = np.nan
+    x[4, :100] = np.nan
+    x[4, -120:] = np.nan
+    t = np.arange(L, dtype=np.float32)
+    tj, xj = jnp.asarray(t), jnp.asarray(x)
+    ref = _masked_coeffs_xla(tj, _impute_endpoints(xj, 1))
+    got = masked_natural_cubic_resident(tj, xj, 1, interpret=True)
+    got = tuple(v[..., :-1] for v in got)
+    for name, r, g in zip(("a", "b", "two_c", "three_d"), ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+
+
 def test_full_subblock_fold_matches_whole_block():
     # The TPU default runs K1/K2's prefix scans over 8-row slices with
     # in-kernel carry folds; interpret tests otherwise take the single-slice

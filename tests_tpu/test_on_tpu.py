@@ -130,8 +130,9 @@ def test_fused_masked_fit_batch_major_on_tpu():
     """Compiled batch-major fused fit (masked_natural_cubic_full: raw values
     in, in-kernel imputation + layout transposes, batch-major coefficients
     out) vs XLA imputation + the XLA masked pipeline, on hardware.  This is
-    the path natural_cubic_coeffs dispatches to; it also exercises Mosaic's
-    in-kernel block transposes."""
+    the streaming route natural_cubic_coeffs falls back to for very long
+    grids; kb pins it (defaults now dispatch to the resident kernel, tested
+    below).  Also exercises Mosaic's in-kernel block transposes."""
     from torchcde_tpu.interpolation.cubic import (
         _impute_endpoints,
         _masked_coeffs_xla,
@@ -148,11 +149,43 @@ def test_fused_masked_fit_batch_major_on_tpu():
     for version in (0, 1):
         ref = _masked_coeffs_xla(tj, _impute_endpoints(xj, version))
         got = tuple(v[..., :-1]
-                    for v in masked_natural_cubic_full(tj, xj, version))
+                    for v in masked_natural_cubic_full(tj, xj, version,
+                                                       kb=128))
         for name, a, b in zip(("a", "b", "two_c", "three_d"), ref, got):
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                        rtol=1e-3, atol=1e-3,
                                        err_msg=f"v{version} {name}")
+
+
+def test_resident_masked_fit_on_tpu():
+    """Compiled VMEM-resident single-launch fit (masked_cubic_resident.py —
+    the default natural_cubic_coeffs route when the time axis fits VMEM)
+    vs XLA imputation + the XLA masked pipeline, on hardware, at both batch
+    tile widths."""
+    from torchcde_tpu.interpolation.cubic import (
+        _impute_endpoints,
+        _masked_coeffs_xla,
+    )
+    from torchcde_tpu.ops.masked_cubic_resident import (
+        masked_natural_cubic_resident,
+    )
+
+    r = np.random.default_rng(17)
+    B, L = 512, 1000  # non-divisible length exercises the NaN padding
+    x = r.standard_normal((B, L)).astype(np.float32)
+    x[r.random((B, L)) < 0.25] = np.nan
+    x[:, L // 2] = r.standard_normal(B)
+    t = np.cumsum(0.5 + r.random(L)).astype(np.float32)
+    xj, tj = jnp.asarray(x), jnp.asarray(t)
+    for version in (0, 1):
+        ref = _masked_coeffs_xla(tj, _impute_endpoints(xj, version))
+        for wb in (256, 128):
+            got = tuple(v[..., :-1] for v in masked_natural_cubic_resident(
+                tj, xj, version, wb=wb))
+            for name, a, b in zip(("a", "b", "two_c", "three_d"), ref, got):
+                np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                           rtol=1e-3, atol=1e-3,
+                                           err_msg=f"v{version} wb{wb} {name}")
 
 
 def test_cubic_fit_gradients_on_tpu():

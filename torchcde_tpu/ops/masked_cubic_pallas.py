@@ -597,8 +597,24 @@ def masked_natural_cubic_full(t, x, version, interpret=False, kb=None,
     Returns (a, b, two_c, three_d), each (..., length) full-grid rows
     (callers slice off the last row), numerically matching the XLA masked
     pipeline applied to endpoint-imputed values.
+
+    When the whole time axis fits VMEM per batch tile, dispatches to the
+    single-launch resident kernel (ops/masked_cubic_resident.py — 5 HBM
+    array passes instead of this pipeline's 31; measured 6x at 8192x4096).
+    Passing ``kb``/``sub`` or ``interpret`` pins the streaming pipeline.
     """
     from .pallas_dispatch import upcast_kernel_operands
+
+    if not interpret and kb is None and sub is None:
+        from .masked_cubic_resident import (
+            _SB,
+            masked_natural_cubic_resident,
+            resident_tile,
+        )
+
+        k_padded = -(-x.shape[-1] // _SB) * _SB
+        if resident_tile(k_padded) is not None:
+            return masked_natural_cubic_resident(t, x, version)
 
     (x,), restore = upcast_kernel_operands(x)
     shape = x.shape
