@@ -16,9 +16,13 @@ Phase math is identical to the streaming kernels (same sub-slice prefix
 scans, same carry folds — see masked_cubic_pallas.py's kernel docstrings);
 only the carries live in a scratch row block instead of grid-carried scratch,
 and phase D transposes each 128-row slice in VMEM before the batch-major
-store.  Scratch budget: 7 length-major (k, wb) slabs with in-place reuse
-(phase C writes b0/c0/d0 over pds/nd/nb after their last read; a0 is xs
-itself), sized by ``resident_tile`` against the 120 MB scoped VMEM limit.
+store.  The endpoint slab (first/last observed value and time per row, the
+imputation sources) is computed in-kernel by a reduction pre-pass (Phase 0)
+over the already-resident input block rather than by XLA argmax + gathers.
+Scratch budget: 7 length-major (k, wb) slabs with in-place reuse (phase C
+writes b0/c0/d0 over pds/nd/nb after their last read; a0 is xs itself) plus
+two (8, wb) carry/slab row blocks, sized by ``resident_tile`` against the
+120 MB scoped VMEM limit.
 """
 
 from functools import partial
@@ -61,23 +65,70 @@ def resident_tile(k_padded):
     return None
 
 
-def _resident_kernel(xbm_ref, t_ref, slab_ref, a_ref, b_ref, c_ref, d_ref,
-                     xs, obs, hr, pds, sph, nd, nb, cr,
-                     *, k, wb, sb, sub, version):
+def _resident_kernel(xbm_ref, t_ref, a_ref, b_ref, c_ref, d_ref,
+                     xs, obs, hr, pds, sph, nd, nb, cr, slab,
+                     *, k, k_orig, wb, sb, sub, version):
     ns = k // sb
     nsub = sb // sub
     dt = xs.dtype
     zrow = jnp.zeros((1, wb), dt)
     onerow = jnp.ones((1, wb), dt)
 
+    # ---- Phase 0 (forward): per-lane endpoint reductions over the
+    # VMEM-resident input block — first/last observed (value, time) per row,
+    # replacing the XLA argmax + gather preamble (which cost ~1.2 ms of
+    # latency-bound HBM passes at 8192x4096).  t is strictly increasing, so
+    # the first/last observation is recovered exactly by a min/max over
+    # observed times plus an equality-masked sum.  Defaults for rows with no
+    # observation mirror the XLA preamble's argmax-of-all-False semantics:
+    # first_t = t[0], last_t = t[k_orig-1], values NaN.
+    tg0 = jnp.broadcast_to(t_ref[0:1, :], (1, wb))
+    tg1 = jnp.broadcast_to(t_ref[k_orig - 1:k_orig, :], (1, wb))
+    nanrow = jnp.full((1, wb), jnp.nan, dt)
+    slab[0:1, :] = tg0      # first_t
+    slab[1:2, :] = tg1      # last_t
+    slab[2:3, :] = nanrow   # v_first
+    slab[3:4, :] = nanrow   # v_last
+    slab[4:5, :] = tg0
+    slab[5:6, :] = tg1
+    cr[0:1, :] = zrow       # seen-any-observation flag
+
+    def body_0(i, _):
+        rs = pl.ds(i * sb, sb)
+        xb = xbm_ref[:, rs].T
+        tb = jnp.broadcast_to(t_ref[rs, :], (sb, wb))
+        ob = xb == xb
+        inf = jnp.asarray(jnp.inf, dt)
+        tfs = jnp.min(jnp.where(ob, tb, inf), axis=0, keepdims=True)
+        tls = jnp.max(jnp.where(ob, tb, -inf), axis=0, keepdims=True)
+        has = tfs < inf
+        vfs = jnp.sum(jnp.where(ob & (tb == tfs), xb, 0.0), axis=0,
+                      keepdims=True)
+        vls = jnp.sum(jnp.where(ob & (tb == tls), xb, 0.0), axis=0,
+                      keepdims=True)
+        seen = cr[0:1, :]
+        first_new = (seen < 0.5) & has
+        slab[0:1, :] = jnp.where(first_new, tfs, slab[0:1, :])
+        slab[2:3, :] = jnp.where(first_new, vfs, slab[2:3, :])
+        slab[1:2, :] = jnp.where(has, tls, slab[1:2, :])
+        slab[3:4, :] = jnp.where(has, vls, slab[3:4, :])
+        cr[0:1, :] = jnp.maximum(seen, has.astype(dt))
+        return 0
+
+    jax.lax.fori_loop(0, ns, body_0, 0)
+
     # ---- Phase A (reverse): imputation + next-observed fill + interval
     # quantities (masked_cubic_pallas._prep_kernel_bm / _prep_body).
-    first_t = slab_ref[0:1, :]
-    last_t = slab_ref[1:2, :]
-    v_first = slab_ref[2:3, :]
-    v_last = slab_ref[3:4, :]
-    tg0 = slab_ref[4:5, :]
-    tg1 = slab_ref[5:6, :]
+    # tg0/tg1 are re-loaded from the scratch rather than reusing the
+    # broadcast-from-(1,1) values above: comparing those against (sb, wb)
+    # rows would fuse into a both-dims broadcast Mosaic can't lower
+    # ("Broadcast in both sublanes and lanes").
+    first_t = slab[0:1, :]
+    last_t = slab[1:2, :]
+    v_first = slab[2:3, :]
+    v_last = slab[3:4, :]
+    tg0 = slab[4:5, :]
+    tg1 = slab[5:6, :]
 
     cr[0:1, :] = zrow
     cr[1:2, :] = zrow
@@ -354,18 +405,19 @@ def _resident_kernel(xbm_ref, t_ref, slab_ref, a_ref, b_ref, c_ref, d_ref,
     jax.lax.fori_loop(0, ns, body_d, 0)
 
 
-@partial(jax.jit, static_argnames=("version", "wb", "sb", "sub", "interpret"))
-def _fit_resident(xbm, tcol, slab, version, wb, sb, sub, interpret=False):
+@partial(jax.jit, static_argnames=("version", "k_orig", "wb", "sb", "sub",
+                                   "interpret"))
+def _fit_resident(xbm, tcol, version, k_orig, wb, sb, sub, interpret=False):
     """Resident fit on padded batch-major (n, k) raw values; n % wb == 0,
-    k % sb == 0.  Returns (a, b, two_c, three_d), each batch-major (n, k)."""
+    k % sb == 0, ``k_orig`` the pre-padding grid length (for the trailing
+    imputation bound).  Returns (a, b, two_c, three_d), batch-major (n, k)."""
     n, k = xbm.shape
     dt = xbm.dtype
     bm = pl.BlockSpec((wb, k), lambda w: (w, 0), memory_space=pltpu.VMEM)
     tspec = pl.BlockSpec((k, 1), lambda w: (0, 0), memory_space=pltpu.VMEM)
-    sspec = pl.BlockSpec((8, wb), lambda w: (0, w), memory_space=pltpu.VMEM)
-    scratch = [pltpu.VMEM((k, wb), dt)] * 7 + [pltpu.VMEM((8, wb), dt)]
-    kern = partial(_resident_kernel, k=k, wb=wb, sb=sb, sub=sub,
-                   version=version)
+    scratch = [pltpu.VMEM((k, wb), dt)] * 7 + [pltpu.VMEM((8, wb), dt)] * 2
+    kern = partial(_resident_kernel, k=k, k_orig=k_orig, wb=wb, sb=sb,
+                   sub=sub, version=version)
     shape = jax.ShapeDtypeStruct((n, k), dt)
     kwargs = {}
     if not interpret:
@@ -375,12 +427,12 @@ def _fit_resident(xbm, tcol, slab, version, wb, sb, sub, interpret=False):
         kern,
         out_shape=(shape,) * 4,
         grid=(n // wb,),
-        in_specs=[bm, tspec, sspec],
+        in_specs=[bm, tspec],
         out_specs=(bm,) * 4,
         scratch_shapes=scratch,
         interpret=interpret,
         **kwargs,
-    )(xbm, tcol, slab)
+    )(xbm, tcol)
 
 
 def masked_natural_cubic_resident(t, x, version, interpret=False, wb=None,
@@ -402,19 +454,6 @@ def masked_natural_cubic_resident(t, x, version, interpret=False, wb=None,
     n = x2.shape[0]
     t = jnp.asarray(t, x2.dtype)
 
-    obs0 = ~jnp.isnan(x2)
-    first_idx = jnp.argmax(obs0, axis=-1)
-    last_idx = (k - 1) - jnp.argmax(obs0[:, ::-1], axis=-1)
-    v_first = jnp.take_along_axis(x2, first_idx[:, None], axis=-1)[:, 0]
-    v_last = jnp.take_along_axis(x2, last_idx[:, None], axis=-1)[:, 0]
-    first_t = t[first_idx]
-    last_t = t[last_idx]
-    ones = jnp.ones_like(first_t)
-    slab = jnp.stack([
-        first_t, last_t, v_first, v_last, t[0] * ones, t[k - 1] * ones,
-        jnp.zeros_like(ones), jnp.zeros_like(ones),
-    ])
-
     if wb is None:
         wb = 8 if interpret else (resident_tile((k + _SB - 1) // _SB * _SB)
                                   or 128)
@@ -428,13 +467,12 @@ def masked_natural_cubic_resident(t, x, version, interpret=False, wb=None,
         # scan (version-1 trailing imputation stops at t_grid_last); their
         # outputs are sliced off below.
         x2 = jnp.pad(x2, ((0, npad), (0, kpad)), constant_values=np.nan)
-        slab = jnp.pad(slab, ((0, 0), (0, npad)))
     if kpad:
         extra = t[-1] + jnp.arange(1, kpad + 1, dtype=t.dtype)
         t = jnp.concatenate([t, extra])
     tcol = t.reshape(-1, 1)
 
-    a, b, c, d = _fit_resident(x2, tcol, slab, version, wb, _SB, sub,
+    a, b, c, d = _fit_resident(x2, tcol, version, k, wb, _SB, sub,
                                interpret=interpret)
     out = []
     for arr in (a, b, c, d):
