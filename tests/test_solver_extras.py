@@ -380,6 +380,25 @@ def test_scipy_solver_rejects_traced_and_adjoint():
     with pytest.raises(ValueError, match="host-side"):
         jax.jit(lambda z: torchcde_tpu.cdeint(
             X, f, z, X.interval, adjoint=False, method="scipy_solver"))(z0)
-    with pytest.raises(ValueError, match="adjoint=False"):
-        torchcde_tpu.cdeint(X, f, z0, X.interval, adjoint=True,
-                            method="scipy_solver")
+    # adjoint=True is cdeint's DEFAULT and torchdiffeq's odeint_adjoint
+    # accepts scipy_solver, so it must RUN (warning, gradient-free) rather
+    # than error.
+    with pytest.warns(UserWarning, match="adjoint=True is ignored"):
+        out = torchcde_tpu.cdeint(X, f, z0, X.interval, adjoint=True,
+                                  method="scipy_solver")
+    ref = torchcde_tpu.cdeint(X, f, z0, X.interval, adjoint=False,
+                              method="scipy_solver")
+    assert np.allclose(np.asarray(out), np.asarray(ref))
+    # per_sample and batched t have no host-side meaning: explicit errors.
+    with pytest.raises(ValueError, match="per_sample"):
+        torchcde_tpu.cdeint(X, f, z0, X.interval, adjoint=False,
+                            method="scipy_solver",
+                            options=dict(per_sample=True))
+    # Batched per-sample t with scipy_solver: the per_sample rejection
+    # fires before _cdeint_scipy ever sees a 2-D t (which would reach
+    # solve_ivp with a row where a scalar belongs).
+    t2 = jnp.stack([X.interval, X.interval])
+    with pytest.raises(ValueError, match="per_sample"):
+        torchcde_tpu.cdeint(X, f, z0, t2, adjoint=False,
+                            method="scipy_solver",
+                            options=dict(per_sample=True))

@@ -455,8 +455,17 @@ def masked_natural_cubic_resident(t, x, version, interpret=False, wb=None,
     t = jnp.asarray(t, x2.dtype)
 
     if wb is None:
-        wb = 8 if interpret else (resident_tile((k + _SB - 1) // _SB * _SB)
-                                  or 128)
+        if interpret:
+            wb = 8
+        else:
+            wb = resident_tile((k + _SB - 1) // _SB * _SB)
+            if wb is None:
+                raise ValueError(
+                    "masked_natural_cubic_resident: the time axis (length "
+                    f"{k}) does not fit VMEM even at the minimum 128-lane "
+                    "batch tile; use the streaming "
+                    "masked_cubic_pallas.masked_natural_cubic_full instead."
+                )
     if sub is None:
         sub = _SB if interpret else 8
 

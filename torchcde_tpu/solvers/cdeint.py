@@ -319,6 +319,16 @@ def cdeint(X, func, z0, t, adjoint=True, backend="native", **kwargs):
         # it runs EAGERLY on the host (each vector-field evaluation is a
         # dispatched device call), requires concrete inputs, and supports no
         # gradients; every production path uses the native compiled solvers.
+        if per_sample:
+            raise ValueError(
+                "scipy_solver does not support options={'per_sample': True} "
+                "(host-side whole-batch stepping has no per-sample control)."
+            )
+        if jnp.ndim(t) > 1:
+            raise ValueError(
+                "scipy_solver requires 1-D output times t (batched t is a "
+                "per_sample feature of the native adaptive solvers)."
+            )
         return _cdeint_scipy(X, func, z0, t, rtol=rtol, atol=atol,
                              solver=scipy_solver_name or "RK45",
                              adjoint=adjoint, return_stats=return_stats)
@@ -495,9 +505,16 @@ def _cdeint_scipy(X, func, z0, t, *, rtol, atol, solver, adjoint,
     if return_stats:
         raise ValueError("scipy_solver does not collect solver statistics.")
     if adjoint:
-        raise ValueError(
+        # adjoint=True is cdeint's DEFAULT, and torchdiffeq's odeint_adjoint
+        # accepts scipy_solver (the backsolve is just more odeint calls) —
+        # so reference-default code `cdeint(..., method='scipy_solver')` must
+        # run.  This eager escape hatch has no gradient graph either way, so
+        # adjoint=True is treated as "no gradients requested" with a warning
+        # rather than an error.
+        import warnings
+        warnings.warn(
             "scipy_solver runs on the host without a differentiable graph; "
-            "use adjoint=False (gradients are not supported)."
+            "adjoint=True is ignored (gradients are not supported)."
         )
     leaves = jax.tree_util.tree_leaves((X, z0, t))
     if not all(is_concrete(l) for l in leaves):

@@ -649,6 +649,16 @@ def try_fused_dopri5(X, func, z0, ts, cfg):
                 return None
             tile = _round_up(tile // 2, _LANES)
 
+    # A caller who EXPLICITLY set max_steps must get that budget per chunk:
+    # if VMEM pressure shrank the chunks below the knot-derived cap that
+    # honors it, decline to the XLA path (which always honors the budget)
+    # rather than silently lowering it — a stiff-but-convergent solve within
+    # the requested budget must not NaN-poison here when XLA would succeed.
+    # The default budget keeps chunk_cap (far above any sane solve).
+    if cfg.max_steps is not None and any(
+            chunk_cap(c[1] - c[0]) < cfg.max_steps for c in chunks):
+        return None
+
     # Hairer initial-step heuristic, identical to the XLA path (3 dispatched
     # vector-field evaluations — negligible next to the fused solve).  Runs
     # on the batch-SHAPED state: X still carries the original batch dims, so
