@@ -370,3 +370,228 @@ def test_exhausted_budget_is_loud_fused(forced_interpret):
     out = try_fused_dopri5(X, fl, z0, np.asarray([0.0, 29.0]), cfg)
     assert out is not None
     assert np.isnan(np.asarray(out)[-1]).all()
+
+
+# ---------------------------------------------------------------------------
+# LinearInterpolation controls (the Neural RDE / log-ODE training path,
+# reference example/logsignature_example.py:26): piecewise-constant dX/dt
+# slabs with LEFT-continuous interval selection at knots, matching the
+# reference's bucketize convention (interpolation_linear.py:203-210).
+# ---------------------------------------------------------------------------
+
+from torchcde_tpu.interpolation.linear import LinearInterpolation  # noqa: E402
+
+
+def _linear_loss_fn(C, H, t, rtol, atol, adjoint=False):
+    def loss(args, force):
+        x_, z0_, w1_, b1_, w2_, b2_ = args
+        co = torchcde_tpu.linear_interpolation_coeffs(x_)
+        fused_pallas.force_fused_pallas(force)
+        try:
+            X = LinearInterpolation(co)
+            fl = MLPVectorField(w1_, b1_, w2_, b2_, H, C)
+            out = torchcde_tpu.cdeint(X=X, func=fl, z0=z0_, t=t,
+                                      adjoint=adjoint, method="dopri5",
+                                      rtol=rtol, atol=atol)
+        finally:
+            fused_pallas.force_fused_pallas(None)
+        return jnp.sum(jnp.sin(out)), out
+
+    return loss
+
+
+@pytest.mark.parametrize("C", [2, 14])  # 14: depth-3 log-ODE channel count,
+def test_linear_control_routes_and_matches_xla(forced_interpret, C):
+    # only packable in the linear slope-slab layout (3*C > 16 slab rows).
+    B, L, H, W = 3, 8, 3, 16
+    args = _setup(B, L, C, H, W, seed=2, scale=0.5 / C)
+    x, z0 = args[0], args[1]
+    fl = MLPVectorField(args[2], args[3], args[4], args[5], H, C)
+    X = LinearInterpolation(torchcde_tpu.linear_interpolation_coeffs(x))
+    from torchcde_tpu.solvers.integrate import SolverConfig
+
+    cfg = SolverConfig(method="dopri5", rtol=1e-6, atol=1e-8)
+    out = fdp.try_fused_dopri5(X, fl, z0, np.asarray([0.0, float(L - 1)]), cfg)
+    assert out is not None, "linear control must route to the fused kernel"
+
+    t = jnp.asarray([0.0, float(L - 1)], jnp.float32)
+    loss = _linear_loss_fn(C, H, t, 1e-6, 1e-8)
+    (_, out_ref), g_ref = jax.value_and_grad(loss, has_aux=True)(args, False)
+    (_, out_fp), g_fp = jax.value_and_grad(loss, has_aux=True)(args, True)
+    assert jnp.max(jnp.abs(out_ref - out_fp)) < 1e-3
+    # Frozen-mesh gradients of two different meshes at the same tight
+    # tolerance: with a piecewise-CONSTANT dX/dt the gradient field is
+    # discontinuous across stage/knot crossings, so cross-mesh agreement is
+    # inherently looser than the smooth cubic case; gradient EXACTNESS is
+    # pinned by test_linear_gradients_match_differentiable_replay below.
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_fp)):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-8
+        assert float(jnp.max(jnp.abs(a - b))) / scale < 1.5e-1
+
+
+def test_linear_control_left_continuous_at_knots(forced_interpret):
+    """Stage-on-knot parity: probing the kernel's slab selection at times
+    that are EXACTLY interior knots must return the PREVIOUS interval's
+    slope — bitwise the reference bucketize semantics that X.derivative
+    implements (searchsorted side='left' minus one)."""
+    from jax.experimental import pallas as pl
+
+    B, L, C = 1, 6, 2
+    r = np.random.default_rng(3)
+    x = jnp.asarray(r.standard_normal((B, L, C)).astype(np.float32))
+    X = LinearInterpolation(torchcde_tpu.linear_interpolation_coeffs(x))
+    n = L - 1
+    # Pack the kernel's linear ct table: rows 0:C = slopes, rest padding.
+    ct = jnp.concatenate(
+        [X._derivs, jnp.zeros((B, n, fdp._SLAB - C), jnp.float32)], axis=-1)
+    ct2 = jnp.pad(jnp.transpose(ct, (1, 2, 0)).reshape(n * fdp._SLAB, B),
+                  ((0, 0), (0, 128 - B)))
+    # Exact interior knots, the endpoints, and off-knot times.
+    times = (0.0, 1.0, 2.0, 3.0, 4.0, 5.0, 0.5, 2.5, 4.999)
+
+    def probe_kernel(ct_ref, out_ref):
+        for i, tv in enumerate(times):
+            slab, _fr, _j = fdp._slab_at(ct_ref, jnp.float32(tv), 0.0, 1.0,
+                                         n, left=True)
+            out_ref[pl.ds(i * C, C), :] = slab[0:C]
+
+    out = pl.pallas_call(
+        probe_kernel,
+        out_shape=jax.ShapeDtypeStruct((len(times) * C, 128), jnp.float32),
+        interpret=True,
+    )(ct2)
+    for i, tv in enumerate(times):
+        want = X.derivative(jnp.float32(tv))[0]  # reference semantics
+        got = out[i * C:(i + 1) * C, 0]
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want),
+                                      err_msg=f"t={tv}")
+
+
+def test_linear_gradients_match_differentiable_replay_of_realised_mesh(
+        forced_interpret):
+    """Exact-gradient test for the linear-control kernel: replay its own
+    accepted (t, dt) mesh as differentiable jnp with the SAME f32
+    left-continuous interval rule and demand exact agreement."""
+    B, L, C, H, W = 3, 6, 2, 3, 8
+    args = _setup(B, L, C, H, W, seed=1, scale=0.3)
+    x, z0, w1, b1, w2, b2 = args
+    ts = np.asarray([0.0, 5.0])
+    rtol, atol = 1e-5, 1e-7
+
+    loss = _linear_loss_fn(C, H, jnp.asarray(ts, jnp.float32), rtol, atol)
+    (l_f, out_f), g_f = jax.value_and_grad(loss, has_aux=True)(args, True)
+
+    X = LinearInterpolation(torchcde_tpu.linear_interpolation_coeffs(x))
+    grid = X.grid_points
+    n = grid.shape[0] - 1
+    Hp = fdp._round_up(H, 8)
+    CHp = fdp._round_up(C * H, 8)
+    Bp = 128
+    ct = jnp.concatenate(
+        [X._derivs, jnp.zeros((B, n, fdp._SLAB - C), jnp.float32)], axis=-1)
+    ct2 = jnp.pad(jnp.transpose(ct, (1, 2, 0)).reshape(n * fdp._SLAB, B),
+                  ((0, 0), (0, Bp - B)))
+    z0t = jnp.pad(z0.T, ((0, Hp - H), (0, Bp - B)))
+    w1t = jnp.pad(w1.T, ((0, 0), (0, Hp - H)))
+    w2p = w2.reshape(W, H, C).transpose(0, 2, 1).reshape(W, C * H)
+    w2t = jnp.pad(w2p.T, ((0, CHp - C * H), (0, 0)))
+    b2c = jnp.pad(b2.reshape(H, C).T.reshape(C * H, 1),
+                  ((0, CHp - C * H), (0, 0)))
+    fl = MLPVectorField(w1, b1, w2, b2, H, C)
+    rhs = make_cde_rhs(fl, X)
+    f0 = rhs(jnp.float32(0.0), z0)
+    dt0 = select_initial_step(rhs, jnp.float32(0.0), z0, 5, rtol, atol, f0)
+    dt0 = jax.lax.stop_gradient(dt0).astype(jnp.float32).reshape(1, 1)
+    solve = fdp._make_fused_dopri(
+        n, Bp, (float(ts[1]),), float(ts[0]), float(ts[1]), float(grid[0]),
+        float(np.diff(grid)[0]), rtol, atol, 4096, 2048, C, H, W, CHp, B,
+        0.9, 10.0, 0.2, True, True)
+    _z, _zfin, _dtfin, _zs, tst, dtst, cnt = solve._fwd_call(
+        ct2, z0t, w1t, b1.reshape(W, 1), w2t, b2c, dt0)
+    cnt = int(cnt[0, 0])
+    t_arr = np.asarray(tst)[:cnt, 0].astype(np.float32)
+    dt_arr = np.asarray(dtst)[:cnt, 0].astype(np.float32)
+    assert cnt > 3
+    bmid = _solve_dense_midpoint(DOPRI5)
+
+    def replay_loss(args):
+        x_, z0_, w1_, b1_, w2_, b2_ = args
+        Xl = LinearInterpolation(torchcde_tpu.linear_interpolation_coeffs(x_))
+        d_r = Xl._derivs
+
+        def f(tval, z):
+            # The kernel's left-continuous rule in the same f32 arithmetic.
+            j = int(np.clip(np.ceil(np.float32(tval)) - 1, 0, n - 1))
+            dx = d_r[:, j]
+            h = jnp.maximum(z @ w1_ + b1_, 0)
+            g = jnp.tanh(h @ w2_ + b2_)
+            return jnp.sum(g.reshape(B, H, C) * dx[:, None, :], axis=-1)
+
+        z = z0_
+        emitted = None
+        for s in range(cnt):
+            t0s, dts = np.float32(t_arr[s]), np.float32(dt_arr[s])
+            ks = [f(t0s, z)]
+            for a_i, brow in zip(DOPRI5.alpha, DOPRI5.beta):
+                y = z
+                for q, coef in enumerate(brow):
+                    if coef != 0.0:
+                        y = y + (float(dts) * coef) * ks[q]
+                ks.append(f(t0s + np.float32(a_i) * dts, y))
+            z1 = z
+            for q, coef in enumerate(DOPRI5.c_sol):
+                if coef != 0.0:
+                    z1 = z1 + (float(dts) * coef) * ks[q]
+            y_mid = z
+            for q, coef in enumerate(bmid):
+                if coef != 0.0:
+                    y_mid = y_mid + (float(dts) * coef) * ks[q]
+            tk = float(ts[1])
+            if (tk > t0s) and (tk <= t0s + dts):
+                theta = (tk - float(t0s)) / float(dts)
+                m = fdp._MINV
+                p2, p3, p4 = theta**2, theta**3, theta**4
+                cA = p2 * m[2][0] + p3 * m[1][0] + p4 * m[0][0]
+                cB = p2 * m[2][1] + p3 * m[1][1] + p4 * m[0][1]
+                cC = p2 * m[2][2] + p3 * m[1][2] + p4 * m[0][2]
+                rA = z1 - z - float(dts) * ks[0]
+                rB = float(dts) * (ks[-1] - ks[0])
+                rC = y_mid - z - 0.5 * float(dts) * ks[0]
+                emitted = (z + theta * float(dts) * ks[0]
+                           + cA * rA + cB * rB + cC * rC)
+            z = z1
+        out = jnp.stack([z0_, emitted], axis=0)
+        return jnp.sum(jnp.sin(out)), out
+
+    (l_r, out_r), g_r = jax.value_and_grad(replay_loss, has_aux=True)(args)
+    assert jnp.allclose(l_f, l_r, rtol=1e-5, atol=1e-6)
+    assert jnp.allclose(out_f, jnp.moveaxis(out_r, 0, -2), rtol=1e-5, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g_r),
+                    jax.tree_util.tree_leaves(g_f)):
+        assert jnp.allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_linear_control_chunked_matches_xla(forced_interpret, monkeypatch):
+    """Chunk streaming with linear controls: chunk boundaries clamp steps to
+    knots, where the left-continuous rule must keep fwd/bwd consistent."""
+    monkeypatch.setattr(fdp, "MAX_INTERVALS", 4)
+    B, L, C, H, W = 3, 14, 2, 3, 8  # 13 intervals -> 4 chunks
+    args = _setup(B, L, C, H, W, seed=9, scale=0.2)
+    t = jnp.asarray([0.0, 3.3, 9.0, 13.0], jnp.float32)
+    loss = _linear_loss_fn(C, H, t, 1e-6, 1e-8)
+    (_, out_ref), g_ref = jax.value_and_grad(loss, has_aux=True)(args, False)
+    (_, out_fp), g_fp = jax.value_and_grad(loss, has_aux=True)(args, True)
+    assert out_fp.shape == out_ref.shape
+    assert jnp.max(jnp.abs(out_ref - out_fp)) < 2e-3
+    assert bool(jnp.all(jnp.isfinite(out_fp)))
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_fp)):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-8
+        assert float(jnp.max(jnp.abs(a - b))) / scale < 5e-2
+    # Chunked adjoint=True routes the same kernel: exactly equal gradients.
+    loss_adj = _linear_loss_fn(C, H, t, 1e-6, 1e-8, adjoint=True)
+    (_, _), g_adj = jax.value_and_grad(loss_adj, has_aux=True)(args, True)
+    for a, b in zip(jax.tree_util.tree_leaves(g_adj),
+                    jax.tree_util.tree_leaves(g_fp)):
+        assert jnp.allclose(a, b, rtol=1e-6, atol=1e-7)

@@ -110,10 +110,23 @@ _ORDER = DOPRI5.order
 _NSTAGES = len(_CSOL)  # 7 (FSAL: stage 7 = f(t+dt, z1))
 
 
-def _slab_at(ct_ref, tval, t0g, w, n):
+def _slab_at(ct_ref, tval, t0g, w, n, left=False):
     """Coefficient slab and frac for a (traced scalar) time on the uniform
-    grid: interval floor((t - t0g)/w) clamped to [0, n-1]."""
-    j = jnp.clip(jnp.floor((tval - t0g) / w).astype(jnp.int32), 0, n - 1)
+    grid: interval floor((t - t0g)/w) clamped to [0, n-1].
+
+    ``left=True`` selects the LEFT-continuous interval at knots —
+    ceil((t - t0g)/w) - 1 — reproducing the reference's bucketize
+    convention for piecewise-linear controls
+    (interpolation_linear.py:203-210, searchsorted side='left' minus one):
+    a stage landing exactly on an interior knot reads the *previous*
+    interval's slope.  Cubic derivatives are knot-continuous, so the
+    (cheaper) floor rule is used there."""
+    pos = (tval - t0g) / w
+    if left:
+        j = jnp.ceil(pos).astype(jnp.int32) - 1
+    else:
+        j = jnp.floor(pos).astype(jnp.int32)
+    j = jnp.clip(j, 0, n - 1)
     slab = ct_ref[pl.ds(j * _SLAB, _SLAB), :]
     fr = tval - (t0g + j.astype(tval.dtype) * w)
     return slab, fr, j
@@ -141,7 +154,8 @@ def _dopri_fwd_kernel(ct_ref, z0_ref, w1_ref, b1_ref, w2_ref, b2_ref, dt0_ref,
                       zout_ref, zfin_ref, dtfin_ref, zst_ref, tst_ref,
                       dtst_ref, cnt_ref, z_scr, k1_scr, dma_sem,
                       *, out_ts, t_start, t_end, t0g, w, n, rtol, atol,
-                      max_steps, cap, C, H, B, safety, ifactor, dfactor):
+                      max_steps, cap, C, H, B, safety, ifactor, dfactor,
+                      linear=False):
     CHp = w2_ref.shape[0]
     Hp = z0_ref.shape[0]
     tile = z0_ref.shape[1]
@@ -158,9 +172,9 @@ def _dopri_fwd_kernel(ct_ref, z0_ref, w1_ref, b1_ref, w2_ref, b2_ref, dt0_ref,
     norm_count = float(B * H)
 
     def f_eval(y, tval):
-        slab, fr, _j = _slab_at(ct_ref, tval, t0g, w, n)
+        slab, fr, _j = _slab_at(ct_ref, tval, t0g, w, n, left=linear)
         k, _h1, _g, _dx = _stage_forward(y, fr, slab, w1t, b1, w2t, b2,
-                                         rep, sel, C, H)
+                                         rep, sel, C, H, linear=linear)
         return k
 
     z0 = z0_ref[:, :]
@@ -273,7 +287,7 @@ def _dopri_bwd_kernel(ct_ref, zst_ref, tst_ref, dtst_ref, cnt_ref, gz_ref,
                       gzfin_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                       dct_ref, dz0_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
                       lam_scr, emit_scr, zvm_scr, dma_sem,
-                      *, out_ts, t0g, w, n, C, H):
+                      *, out_ts, t0g, w, n, C, H, linear=False):
     CHp = w2_ref.shape[0]
     Hp = dz0_ref.shape[0]
     tile = dz0_ref.shape[1]
@@ -297,9 +311,9 @@ def _dopri_bwd_kernel(ct_ref, zst_ref, tst_ref, dtst_ref, cnt_ref, gz_ref,
     cnt = cnt_ref[0, 0]
 
     def stage_eval(y, tval):
-        slab, fr, j = _slab_at(ct_ref, tval, t0g, w, n)
+        slab, fr, j = _slab_at(ct_ref, tval, t0g, w, n, left=linear)
         k, _h1, _g, _dx = _stage_forward(y, fr, slab, w1t, b1, w2t, b2,
-                                         rep, sel, C, H)
+                                         rep, sel, C, H, linear=linear)
         # Save only the THIN stage inputs (y: Hp rows, plus lane scalars);
         # the VJP recomputes h1/g/dx from y below.  Measured on v5e at
         # batch 4096: keeping the fat (h1, g, dx) activations instead is
@@ -311,16 +325,22 @@ def _dopri_bwd_kernel(ct_ref, zst_ref, tst_ref, dtst_ref, cnt_ref, gz_ref,
         y, fr, j = saved
         slab = ct_ref[pl.ds(j * _SLAB, _SLAB), :]
         _k, h1, g, dx = _stage_forward(y, fr, slab, w1t, b1, w2t, b2,
-                                       rep, sel, C, H)
+                                       rep, sel, C, H, linear=linear)
         dy, dw1t, db1_, dw2t, db2_, ddx = _stage_backward(
             u, y, fr, h1, g, dx, w1t, w2t, rep, sel, C, H)
         dw1_ref[:, :] += dw1t
         db1_ref[:, :] += db1_
         dw2_ref[:, :] += dw2t
         db2_ref[:, :] += db2_
-        upd = jnp.concatenate(
-            [ddx, fr * ddx, (fr * fr) * ddx,
-             jnp.zeros((_SLAB - 3 * C, ddx.shape[1]), ddx.dtype)], axis=0)
+        if linear:
+            # Slope rows only: d(slope_j) accumulates ddx directly.
+            upd = jnp.concatenate(
+                [ddx, jnp.zeros((_SLAB - C, ddx.shape[1]), ddx.dtype)],
+                axis=0)
+        else:
+            upd = jnp.concatenate(
+                [ddx, fr * ddx, (fr * fr) * ddx,
+                 jnp.zeros((_SLAB - 3 * C, ddx.shape[1]), ddx.dtype)], axis=0)
         old = dct_ref[pl.ds(j * _SLAB, _SLAB), :]
         dct_ref[pl.ds(j * _SLAB, _SLAB), :] = old + upd
         return dy
@@ -413,7 +433,7 @@ def _dopri_bwd_kernel(ct_ref, zst_ref, tst_ref, dtst_ref, cnt_ref, gz_ref,
 @functools.lru_cache(maxsize=64)
 def _make_fused_dopri(n, tile, out_ts, t_start, t_end, t0g, w, rtol, atol,
                       max_steps, cap, C, H, W, CHp, B, safety, ifactor,
-                      dfactor, interpret):
+                      dfactor, interpret, linear=False):
     """One chunk solve [t_start, t_end] over an n-interval coefficient table.
 
     Returns (zout, zfin, dtfin): dense output at ``out_ts`` (rows of z0 for
@@ -434,7 +454,7 @@ def _make_fused_dopri(n, tile, out_ts, t_start, t_end, t0g, w, rtol, atol,
             _dopri_fwd_kernel, out_ts=out_ts, t_start=t_start, t_end=t_end,
             t0g=t0g, w=w, n=n, rtol=rtol, atol=atol,
             max_steps=max_steps, cap=cap, C=C, H=H, B=B, safety=safety,
-            ifactor=ifactor, dfactor=dfactor),
+            ifactor=ifactor, dfactor=dfactor, linear=linear),
         out_shape=(
             jax.ShapeDtypeStruct((n_out_rows * Hp, tile), jnp.float32),  # zout
             jax.ShapeDtypeStruct((Hp, tile), jnp.float32),          # z final
@@ -456,7 +476,7 @@ def _make_fused_dopri(n, tile, out_ts, t_start, t_end, t0g, w, rtol, atol,
 
     bwd_call = pl.pallas_call(
         functools.partial(_dopri_bwd_kernel, out_ts=out_ts, t0g=t0g, w=w, n=n,
-                          C=C, H=H),
+                          C=C, H=H, linear=linear),
         out_shape=(
             jax.ShapeDtypeStruct((n * _SLAB, tile), jnp.float32),  # dct
             jax.ShapeDtypeStruct((Hp, tile), jnp.float32),         # dz0
@@ -537,8 +557,10 @@ def _chunk_plan(grid, ts_np, max_intervals=MAX_INTERVALS):
 def try_fused_dopri5(X, func, z0, ts, cfg):
     """Attempt the fused adaptive dopri5 solve.
 
-    Requires: MLPVectorField over a CubicSpline with a concrete uniform knot
-    grid, concrete output times, f32 or bf16 (bf16 solves in f32 internally,
+    Requires: MLPVectorField over a CubicSpline OR a LinearInterpolation
+    with a concrete uniform knot grid (the Neural RDE / log-ODE training
+    control, reference example/logsignature_example.py:26), concrete output
+    times, f32 or bf16 (bf16 solves in f32 internally,
     the shared _pack_operands dtype policy), no step_size
     (tolerance-controlled), single device.  Batches larger than the chosen
     tile run as independent per-group solves and long coefficient tables
@@ -547,6 +569,7 @@ def try_fused_dopri5(X, func, z0, ts, cfg):
     None.
     """
     from ..interpolation.cubic import CubicSpline
+    from ..interpolation.linear import LinearInterpolation
     from . import fused_pallas
     from .integrate import select_initial_step
     from .terms import MLPVectorField, make_cde_rhs
@@ -557,7 +580,19 @@ def try_fused_dopri5(X, func, z0, ts, cfg):
 
     if not isinstance(func, MLPVectorField) or isinstance(z0, (tuple, list)):
         return None
-    if not isinstance(X, CubicSpline):
+    if isinstance(X, CubicSpline):
+        # b + (2c + 3d*fr)*fr monomial slabs; knot-continuous derivative.
+        rows_src = (X._b, X._two_c, X._three_d)
+        linear = False
+    elif isinstance(X, LinearInterpolation):
+        # Piecewise-constant derivative: slabs hold only the C slope rows
+        # (admitting up to 16 channels — the depth-3 log-ODE control's 14),
+        # and interval selection is LEFT-continuous at knots to reproduce
+        # the reference's bucketize convention
+        # (interpolation_linear.py:203-210) — see _slab_at(left=True).
+        rows_src = (X._derivs, None, None)
+        linear = True
+    else:
         return None
     grid = X.grid_points
     if not isinstance(grid, np.ndarray) or grid.shape[0] < 2:
@@ -585,8 +620,9 @@ def try_fused_dopri5(X, func, z0, ts, cfg):
     max_steps = min(cfg.max_steps or 4096, _STORE_CAP)
 
     # Validate field/dtype shapes once (full batch); per-group packing below.
-    p_full = fused_pallas._pack_operands(X._b, X._two_c, X._three_d, z0, func,
-                                         n)
+    p_full = fused_pallas._pack_operands(rows_src[0], rows_src[1],
+                                         rows_src[2], z0, func, n,
+                                         linear=linear)
     if p_full is None:
         return None
 
@@ -676,8 +712,9 @@ def try_fused_dopri5(X, func, z0, ts, cfg):
     H = p_full.H
     C = p_full.C
     rows_flat = tuple(
-        jnp.broadcast_to(r, batch_shape + r.shape[-2:]).reshape(B, n, C)
-        for r in (X._b, X._two_c, X._three_d)
+        None if r is None
+        else jnp.broadcast_to(r, batch_shape + r.shape[-2:]).reshape(B, n, C)
+        for r in rows_src
     )
     z0_flat = jnp.broadcast_to(z0, batch_shape + (H,)).reshape(B, H)
 
@@ -686,8 +723,10 @@ def try_fused_dopri5(X, func, z0, ts, cfg):
     for g0 in range(0, B, tile):
         g1 = min(g0 + tile, B)
         p = fused_pallas._pack_operands(
-            rows_flat[0][g0:g1], rows_flat[1][g0:g1], rows_flat[2][g0:g1],
-            z0_flat[g0:g1], func, n, single_tile=tile)
+            rows_flat[0][g0:g1],
+            None if linear else rows_flat[1][g0:g1],
+            None if linear else rows_flat[2][g0:g1],
+            z0_flat[g0:g1], func, n, single_tile=tile, linear=linear)
         if p is None:
             return None
 
@@ -704,7 +743,7 @@ def try_fused_dopri5(X, func, z0, ts, cfg):
                 n_c, p.Bp, out_ts, t_start, t_end, float(grid[j0]), w,
                 float(cfg.rtol), float(cfg.atol), int(cap_c), int(cap_c),
                 C, H, p.W, p.CHp, p.B, float(cfg.safety), float(cfg.ifactor),
-                float(cfg.dfactor), interpret)
+                float(cfg.dfactor), interpret, linear)
             zout, z_carry, dt_fin = solve(
                 ct_chunk, z_carry, p.w1t, p.b1c, p.w2t, p.b2c, dt_carry)
             # The carried proposal is mesh data like dt0 (stop_gradient'd

@@ -151,7 +151,7 @@ def _dot(a, b, mx=jnp.float32):
 
 
 def _stage_forward(y, fr, slab, w1t, b1, w2t, b2, rep, sel, C, H,
-                   mx=jnp.float32):
+                   mx=jnp.float32, linear=False):
     """One vector-field evaluation in lane layout.  y: (Hp, tile).
 
     ``rep``/``sel`` None means the matrix-free selection path: when
@@ -159,8 +159,17 @@ def _stage_forward(y, fr, slab, w1t, b1, w2t, b2, rep, sel, C, H,
     instead of MXU dots — the kernel's runtime scales with its *count* of
     serial small matmuls (measured: bf16 operands change nothing, so the
     MXU ops are latency- not throughput-bound), and this removes 2 of the
-    4 per-stage dots."""
-    dx = slab[0:C] + (slab[C : 2 * C] + slab[2 * C : 3 * C] * fr) * fr
+    4 per-stage dots.
+
+    ``linear=True``: the slab holds a piecewise-constant derivative
+    (LinearInterpolation slopes in rows 0:C, rows C:_SLAB padding), so only
+    C slab rows are live — which is what lets C up to _SLAB = 16 channels
+    fuse (the cubic monomial form needs 3*C rows), covering the depth-3
+    log-ODE control's 14 channels."""
+    if linear:
+        dx = slab[0:C]
+    else:
+        dx = slab[0:C] + (slab[C : 2 * C] + slab[2 * C : 3 * C] * fr) * fr
     h1 = jnp.maximum(_dot(w1t, y, mx) + b1, 0.0)
     g = jnp.tanh(_dot(w2t, h1, mx) + b2)
     if rep is None:
@@ -546,7 +555,7 @@ class _Packed:
 
 
 def _pack_operands(b_rows, c_rows, d_rows, z0, field, n, single_tile=None,
-                   ct_store=None):
+                   ct_store=None, linear=False):
     """Validate vector-field/batch shapes and pack the kernel operands.
 
     Returns a ``_Packed`` or None when ineligible.  ``single_tile``: a lane
@@ -556,6 +565,10 @@ def _pack_operands(b_rows, c_rows, d_rows, z0, field, n, single_tile=None,
     coefficient slab array (``ct2``) in bf16 — kernels built for it upcast
     slab blocks on load and emit bf16 slab cotangents; the default (None)
     upcasts everything to f32 for kernels without that handling.
+    ``linear=True``: ``b_rows`` are LinearInterpolation slopes and
+    c_rows/d_rows must be None — slabs hold only the C slope rows, so the
+    channel cap is C <= _SLAB (16) instead of 3*C <= _SLAB, admitting the
+    depth-3 log-ODE control (14 channels).
     """
     C = b_rows.shape[-1]
     H = field.hidden_channels
@@ -563,9 +576,14 @@ def _pack_operands(b_rows, c_rows, d_rows, z0, field, n, single_tile=None,
     W = w1.shape[-1]
     if w1.shape != (H, W) or w2.shape != (W, H * C) or field.input_channels != C:
         return None
-    if W > MAX_WIDTH or C * H > MAX_CONTRACT or 3 * C > _SLAB:
+    slab_rows = C if linear else 3 * C
+    if W > MAX_WIDTH or C * H > MAX_CONTRACT or slab_rows > _SLAB:
         return None
-    arrays = (b_rows, c_rows, d_rows, z0, w1, b1, w2, b2)
+    if linear:
+        assert c_rows is None and d_rows is None
+        arrays = (b_rows, z0, w1, b1, w2, b2)
+    else:
+        arrays = (b_rows, c_rows, d_rows, z0, w1, b1, w2, b2)
     # Same dtype policy as the streaming kernels (ops/pallas_dispatch.py):
     # f32 and bf16 are eligible.  bf16 operands are stored f32 in VMEM — the
     # solve's carried state and gradient accumulators need f32 — but the
@@ -584,8 +602,11 @@ def _pack_operands(b_rows, c_rows, d_rows, z0, field, n, single_tile=None,
             # Slab rows stay bf16 (the HBM-dominant stream); carried-state
             # operands still upcast — the solve's state and accumulators
             # are f32 either way.
-            z0, w1, b1, w2, b2 = (a.astype(jnp.float32) for a in arrays[3:])
+            z0, w1, b1, w2, b2 = (a.astype(jnp.float32) for a in arrays[-5:])
             ct_dtype = jnp.bfloat16
+        elif linear:
+            b_rows, z0, w1, b1, w2, b2 = (
+                a.astype(jnp.float32) for a in arrays)
         else:
             b_rows, c_rows, d_rows, z0, w1, b1, w2, b2 = (
                 a.astype(jnp.float32) for a in arrays)
@@ -626,9 +647,14 @@ def _pack_operands(b_rows, c_rows, d_rows, z0, field, n, single_tile=None,
     # Kernel-layout packing (plain XLA, hence differentiable — the custom_vjp
     # wraps only the Pallas calls, so gradients through this packing are
     # handled by autodiff).
-    ct = jnp.concatenate(
-        [flat_rows(b_rows), flat_rows(c_rows), flat_rows(d_rows),
-         jnp.zeros((B, n, _SLAB - 3 * C), ct_dtype)], axis=-1)
+    if linear:
+        ct = jnp.concatenate(
+            [flat_rows(b_rows),
+             jnp.zeros((B, n, _SLAB - C), ct_dtype)], axis=-1)
+    else:
+        ct = jnp.concatenate(
+            [flat_rows(b_rows), flat_rows(c_rows), flat_rows(d_rows),
+             jnp.zeros((B, n, _SLAB - 3 * C), ct_dtype)], axis=-1)
     ct2 = jnp.transpose(ct, (1, 2, 0)).reshape(n * _SLAB, B)
     p.ct2 = jnp.pad(ct2, ((0, 0), (0, Bp - B)))
 
