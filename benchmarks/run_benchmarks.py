@@ -10,6 +10,9 @@ baseline record:
 3. cubic_fit   — natural cubic spline fit at batch 8192 x length 4096 with
                  NaN masks (batched tridiagonal stress); reports GB/s
 4. log_ode     — depth-3 logsignature windows on length-10k series
+                 (preprocessing), plus log_ode_train: the Neural RDE
+                 TRAINING step over those windows (linear interpolation +
+                 dopri5 adjoint, the reference example's configuration)
 5. rev_heun    — reversible-Heun backend train step at large batch, and on an
                  n-device mesh when more than one device is present
 
@@ -339,6 +342,53 @@ def bench_log_ode():
          "flops_source": "device-core (windowed_logsignatures)"}, t)
 
 
+def bench_log_ode_train():
+    """BASELINE config 4's TRAINING step — the Neural RDE of the reference's
+    example/logsignature_example.py:13-52: depth-3 windowed logsignatures of
+    a length-10k series (window 100 -> 100 steps x 14 channels), LINEAR
+    interpolation of the transformed path (logsignature_example.py:26), and
+    the reference-default solve (dopri5 + adjoint, solver.py:195-198), batch
+    256.  Routes to the fused adaptive kernel's linear-control mode
+    (fused_dopri_pallas.py, slope-only slabs + left-continuous knots)."""
+    import jax, jax.numpy as jnp, optax
+    import torchcde_tpu as tc
+    from torchcde_tpu.models.neural_cde import NeuralCDEConfig, init_neural_cde
+    from torchcde_tpu.models.training import make_train_step
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    batch, length = (256, 10000) if on_tpu else (16, 1000)
+    X, y = _spiral(batch, length)
+    # The logsig transform is OFFLINE preprocessing (cached per the reference
+    # README) and is timed separately by bench_log_ode; build it on the host
+    # CPU backend so this entry times only the training step.
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        logsig = tc.logsig_windows(jnp.asarray(X), 3, 100.0)
+        coeffs_host = np.asarray(tc.linear_interpolation_coeffs(logsig))
+    coeffs = jnp.asarray(coeffs_host)
+    cfg = NeuralCDEConfig(
+        input_channels=int(logsig.shape[-1]), hidden_channels=8,
+        output_channels=1, interpolation="linear", solver="dopri5",
+        adjoint=True,
+    )
+    params = init_neural_cde(jax.random.PRNGKey(0), cfg)
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    step = make_train_step(cfg, opt)
+
+    t = _scanned_train_time(step, params, opt_state, coeffs, jnp.asarray(y))
+    global _LAST_COST
+    cost, reps, extra = _dopri_probe_cost(params, cfg, coeffs, _LAST_COST[1])
+    _LAST_COST = (cost, reps)
+    return _annotate(
+        {"metric": (f"log-ODE Neural RDE train step (depth-3 logsig of "
+                    f"{length}-len series, window 100, linear+dopri5 "
+                    f"adjoint, batch {batch})"),
+         "value": round(1e3 * t, 3), "unit": "ms", **extra}, t,
+        attainable_tflops=_mlp_attainable_tflops(
+            cfg.hidden_channels, cfg.input_channels, cfg.width))
+
+
 def bench_rev_heun():
     import jax, jax.numpy as jnp, optax
     import torchcde_tpu as tc
@@ -509,6 +559,7 @@ BENCHES = {
     "irregular": bench_irregular,
     "cubic_fit": bench_cubic_fit,
     "log_ode": bench_log_ode,
+    "log_ode_train": bench_log_ode_train,
     "rev_heun": bench_rev_heun,
     "seq_pcr": bench_seq_pcr,
     "seq_masked": bench_seq_masked,

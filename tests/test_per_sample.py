@@ -323,3 +323,183 @@ def test_fused_per_sample_coefficient_gradients():
     a = np.asarray(gc_fp, np.float64).ravel()
     b = np.asarray(gc_ref, np.float64).ravel()
     assert np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-8) < 0.05
+
+
+@pytest.mark.slow
+def test_fused_per_sample_chunked_long_table():
+    """Round-5 cap lift: coefficient tables longer than one VMEM chunk
+    stream through the per-lane kernel as carried (state, t, dt) rows —
+    values and gradients still match the vmapped XLA path."""
+    from torchcde_tpu.solvers import fused_dopri_persample as fdps
+    from torchcde_tpu.solvers import fused_pallas
+    from torchcde_tpu.solvers.terms import MLPVectorField
+
+    B, L, C, H, W = 3, 14, 2, 3, 8  # 13 intervals
+    x = rng.standard_normal((B, L, C)).astype(np.float32) * 0.4
+    coeffs = torchcde_tpu.hermite_cubic_coefficients_with_backward_differences(
+        jnp.asarray(x))
+    w1 = jnp.asarray(rng.standard_normal((H, W)) * 0.3, jnp.float32)
+    b1 = jnp.zeros((W,), jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((W, H * C)) * 0.3, jnp.float32)
+    b2 = jnp.zeros((H * C,), jnp.float32)
+    z0 = jnp.asarray(rng.standard_normal((B, H)).astype(np.float32))
+    t = np.asarray([0.0, 3.3, 9.0, 13.0])
+
+    orig = fdps.MAX_PS_INTERVALS
+    fdps.MAX_PS_INTERVALS = 4  # 13 intervals -> 4 carried chunks
+    try:
+        def loss(args, coeffs, use_fused):
+            z0_, w1_, w2_ = args
+            fused_pallas.force_fused_pallas(True if use_fused else False)
+            try:
+                X = torchcde_tpu.CubicSpline(coeffs)
+                field = MLPVectorField(w1_, b1, w2_, b2, H, C)
+                out = torchcde_tpu.cdeint(
+                    X=X, func=field, z0=z0_, t=t, adjoint=False,
+                    method="dopri5", rtol=1e-6, atol=1e-8,
+                    options=dict(per_sample=True))
+            finally:
+                fused_pallas.force_fused_pallas(None)
+            return jnp.sum(jnp.sin(out)), out
+
+        # The fused path must actually route under the tightened cap.
+        fused_pallas.force_fused_pallas(True)
+        try:
+            routed = fdps.try_fused_dopri5_per_sample(
+                torchcde_tpu.CubicSpline(coeffs),
+                MLPVectorField(w1, b1, w2, b2, H, C), z0, t,
+                rtol=1e-6, atol=1e-8, max_steps=None)
+        finally:
+            fused_pallas.force_fused_pallas(None)
+        assert routed is not None
+
+        args = (z0, w1, w2)
+        (_, out_ref), g_ref = jax.value_and_grad(
+            loss, argnums=0, has_aux=True)(args, coeffs, False)
+        (_, out_fp), g_fp = jax.value_and_grad(
+            loss, argnums=0, has_aux=True)(args, coeffs, True)
+    finally:
+        fdps.MAX_PS_INTERVALS = orig
+
+    assert out_fp.shape == out_ref.shape == (B, 4, H)
+    np.testing.assert_allclose(np.asarray(out_fp), np.asarray(out_ref),
+                               rtol=2e-3, atol=2e-3)
+    for a, b in zip(jax.tree_util.tree_leaves(g_fp),
+                    jax.tree_util.tree_leaves(g_ref)):
+        a = np.asarray(a, np.float64).ravel()
+        b = np.asarray(b, np.float64).ravel()
+        assert np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-8) < 0.05
+
+
+@pytest.mark.slow
+def test_fused_per_sample_batched_t_rows():
+    """Round-5 cap lift: batched per-lane output times (torchode's t_eval)
+    route INTO the kernel as per-lane VMEM rows instead of declining to the
+    13x-slower vmapped path."""
+    from torchcde_tpu.solvers import fused_dopri_persample as fdps
+    from torchcde_tpu.solvers import fused_pallas
+    from torchcde_tpu.solvers.terms import MLPVectorField
+
+    B, L, C, H, W = 4, 8, 2, 3, 8
+    x = rng.standard_normal((B, L, C)).astype(np.float32) * 0.4
+    coeffs = torchcde_tpu.hermite_cubic_coefficients_with_backward_differences(
+        jnp.asarray(x))
+    w1 = jnp.asarray(rng.standard_normal((H, W)) * 0.3, jnp.float32)
+    b1 = jnp.zeros((W,), jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((W, H * C)) * 0.3, jnp.float32)
+    b2 = jnp.zeros((H * C,), jnp.float32)
+    z0 = jnp.asarray(rng.standard_normal((B, H)).astype(np.float32))
+    # Every lane integrates over and reads out at its own span.
+    ends = np.linspace(3.0, 7.0, B)
+    t_rows = np.stack([np.linspace(0.0, e, 5) for e in ends])
+
+    fused_pallas.force_fused_pallas(True)
+    try:
+        routed = fdps.try_fused_dopri5_per_sample(
+            torchcde_tpu.CubicSpline(coeffs),
+            MLPVectorField(w1, b1, w2, b2, H, C), z0, None,
+            rtol=1e-6, atol=1e-8, max_steps=None,
+            t_rows=jnp.asarray(t_rows, jnp.float32))
+    finally:
+        fused_pallas.force_fused_pallas(None)
+    assert routed is not None and routed.shape == (5, B, H)
+
+    def loss(args, coeffs, use_fused):
+        z0_, w1_, w2_ = args
+        fused_pallas.force_fused_pallas(True if use_fused else False)
+        try:
+            X = torchcde_tpu.CubicSpline(coeffs)
+            field = MLPVectorField(w1_, b1, w2_, b2, H, C)
+            out = torchcde_tpu.cdeint(
+                X=X, func=field, z0=z0_, t=jnp.asarray(t_rows, jnp.float32),
+                adjoint=False, method="dopri5", rtol=1e-6, atol=1e-8,
+                options=dict(per_sample=True))
+        finally:
+            fused_pallas.force_fused_pallas(None)
+        return jnp.sum(jnp.sin(out)), out
+
+    args = (z0, w1, w2)
+    (_, out_ref), g_ref = jax.value_and_grad(
+        loss, argnums=0, has_aux=True)(args, coeffs, False)
+    (_, out_fp), g_fp = jax.value_and_grad(
+        loss, argnums=0, has_aux=True)(args, coeffs, True)
+    assert out_fp.shape == out_ref.shape == (B, 5, H)
+    np.testing.assert_allclose(np.asarray(out_fp), np.asarray(out_ref),
+                               rtol=2e-3, atol=2e-3)
+    for a, b in zip(jax.tree_util.tree_leaves(g_fp),
+                    jax.tree_util.tree_leaves(g_ref)):
+        a = np.asarray(a, np.float64).ravel()
+        b = np.asarray(b, np.float64).ravel()
+        assert np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-8) < 0.05
+
+
+@pytest.mark.slow
+def test_fused_per_sample_linear_control():
+    """LinearInterpolation controls route to the per-lane kernel (slope-only
+    slabs, left-continuous interval selection at knots)."""
+    from torchcde_tpu.solvers import fused_dopri_persample as fdps
+    from torchcde_tpu.solvers import fused_pallas
+    from torchcde_tpu.solvers.terms import MLPVectorField
+
+    B, L, C, H, W = 3, 7, 2, 3, 8
+    x = rng.standard_normal((B, L, C)).astype(np.float32) * 0.4
+    coeffs = torchcde_tpu.linear_interpolation_coeffs(jnp.asarray(x))
+    w1 = jnp.asarray(rng.standard_normal((H, W)) * 0.3, jnp.float32)
+    b1 = jnp.zeros((W,), jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((W, H * C)) * 0.3, jnp.float32)
+    b2 = jnp.zeros((H * C,), jnp.float32)
+    z0 = jnp.asarray(rng.standard_normal((B, H)).astype(np.float32))
+    t = np.asarray([0.0, 2.0, 6.0])  # t=2.0 sits ON a knot: left-continuity
+
+    from torchcde_tpu.interpolation.linear import LinearInterpolation
+
+    fused_pallas.force_fused_pallas(True)
+    try:
+        routed = fdps.try_fused_dopri5_per_sample(
+            LinearInterpolation(coeffs),
+            MLPVectorField(w1, b1, w2, b2, H, C), z0, t,
+            rtol=1e-6, atol=1e-8, max_steps=None)
+    finally:
+        fused_pallas.force_fused_pallas(None)
+    assert routed is not None
+
+    def loss(coeffs, use_fused):
+        fused_pallas.force_fused_pallas(True if use_fused else False)
+        try:
+            X = LinearInterpolation(coeffs)
+            field = MLPVectorField(w1, b1, w2, b2, H, C)
+            out = torchcde_tpu.cdeint(
+                X=X, func=field, z0=z0, t=t, adjoint=False,
+                method="dopri5", rtol=1e-6, atol=1e-8,
+                options=dict(per_sample=True))
+        finally:
+            fused_pallas.force_fused_pallas(None)
+        return jnp.sum(jnp.sin(out)), out
+
+    (_, out_ref), g_ref = jax.value_and_grad(loss, has_aux=True)(coeffs, False)
+    (_, out_fp), g_fp = jax.value_and_grad(loss, has_aux=True)(coeffs, True)
+    np.testing.assert_allclose(np.asarray(out_fp), np.asarray(out_ref),
+                               rtol=2e-3, atol=2e-3)
+    a = np.asarray(g_fp, np.float64).ravel()
+    b = np.asarray(g_ref, np.float64).ravel()
+    assert np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-8) < 0.05

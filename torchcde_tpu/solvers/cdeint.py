@@ -622,10 +622,11 @@ def _cdeint_per_sample(X, func, z0, t, *, adjoint, backend, method, rtol, atol,
     # t/dt/accept as lane vectors — instead of a vmap of per-stage XLA
     # dispatches.  Serves adjoint=True too when the adjoint tolerances
     # mirror the forward's (its frozen-mesh exact-reverse gradients are
-    # within the adjoint's memory contract, like the whole-batch kernels).
-    # Declines (None) off-TPU, for non-dopri5 methods, jump_t, batched t,
-    # stats collection, or outside its caps.
-    if (method == "dopri5" and jump_t is None and t_axis is None
+    # within the adjoint's memory contract, like the whole-batch kernels),
+    # and batched per-lane output times (the rows become per-lane VMEM
+    # vectors in the kernel).  Declines (None) off-TPU, for non-dopri5
+    # methods, jump_t, or stats collection.
+    if (method == "dopri5" and jump_t is None
             and not return_stats and step_size is None
             and (not adjoint
                  or (adjoint_params is None and adjoint_method == method
@@ -634,7 +635,9 @@ def _cdeint_per_sample(X, func, z0, t, *, adjoint, backend, method, rtol, atol,
         from .fused_dopri_persample import try_fused_dopri5_per_sample
 
         out = try_fused_dopri5_per_sample(
-            Xf, func, z0f, t, rtol=rtol, atol=atol, max_steps=max_steps)
+            Xf, func, z0f, t if t_axis is None else None,
+            rtol=rtol, atol=atol, max_steps=max_steps,
+            t_rows=t if t_axis == 0 else None)
         if out is not None:
             out = jnp.moveaxis(out, 0, -2)  # (B, len(t), H)
             return jax.tree_util.tree_map(
