@@ -95,6 +95,106 @@ def flagship_model(batch, n_intervals, H, C, W, m_substeps=1, n_out=1,
     }
 
 
+def cubic_fit_model(batch, length, channels=1, wb=256, sb=128, sub=8,
+                    phases=5, clock_ghz=0.94, cycles_per_substep=57.0):
+    """Floor model for the VMEM-resident NaN-masked natural-cubic fit
+    (ops/masked_cubic_resident.py) — round-4 VERDICT item 2.
+
+    Two candidate floors; the larger binds:
+
+    1. **5-pass HBM bytes**: the kernel reads the raw values once and writes
+       the four coefficient arrays once (everything between is VMEM-resident)
+       -> 5 * batch * length * channels * 4 bytes.
+
+    2. **Serial scan chain**: the masked fills / gappy Thomas solve /
+       re-basing are recurrences over the time axis.  Per batch tile the
+       kernel runs ``phases`` dependent passes, each folding k rows in
+       ``sub``-row slices with log-depth in-slice scans; tiles are
+       grid-sequential on the single tensor core.  Chain length =
+       tiles * phases * (k / sub) dependent sub-steps.  Measured on v5e
+       (benchmarks/profile_resident.py + the sub-size sweep): ~57
+       cycles/sub-step at sub=8, consistent with the ~25 two-vreg VPU ops
+       each sub-step issues — and sub = 16/32/64 are measured REGRESSIONS
+       (5.59/5.87/6.68 ms vs 4.93 ms: the fatter log-scans cost more issue
+       cycles than the shorter fold chain saves), so the chain term is
+       structure, not scheduling slack.
+    """
+    n = batch * channels
+    k = -(-length // sb) * sb
+    tiles = -(-n // wb)
+    min_bytes = 5 * batch * length * channels * 4
+    substeps = tiles * phases * (k // sub)
+    latency_ms = substeps * cycles_per_substep / (clock_ghz * 1e9) * 1e3
+    return {
+        "min_bytes": int(min_bytes),
+        "substeps": int(substeps),
+        "latency_floor_ms": latency_ms,
+        "hbm_floor_ms_at_peak": min_bytes / (819.0e9) * 1e3,
+    }
+
+
+def rev_heun_model(batch, n_intervals, H, C, W, m_substeps=1,
+                   tile_fwd=4096, tile_bwd=2048, ct_bytes=2):
+    """Floor model for the fused reversible-Heun train step
+    (solvers/fused_pallas.py _rev_fwd_kernel/_rev_bwd_kernel) — round-4
+    VERDICT item 2 for BASELINE config 5 (batch 16k).
+
+    1. **Minimal HBM bytes**: forward reads each coefficient slab once and
+       writes the (y, yhat) knot pair (the reversible adjoint's O(1)-memory
+       contract: states are reconstructed, not stored per stage); backward
+       re-reads slabs + (y, yhat), writes dct; plus output/cotangent rows.
+
+    2. **Attainable MXU fraction**: same thin-K structure as the flagship
+       (contractions K in {H, CHp, W} against the 128-wide array), with
+       reversible Heun's op mix: 1 new stage eval per forward interval, and
+       per backward interval the inverse-map reconstruction (2 stage evals)
+       + the two carried cotangents' VJP dots.
+
+    3. **Serial grid chain**: grid steps = (batch/tile_fwd) * n forward +
+       (batch/tile_bwd) * n backward, each a dependent Mosaic grid
+       iteration (carried (y, yhat) / adjoint state).
+    """
+    Hp = -(-H // 8) * 8
+    CHp = -(-C * H // 8) * 8
+    B = batch
+
+    slab = n_intervals * _SLAB * B * ct_bytes
+    knots = 2 * n_intervals * Hp * B * 4          # (y, yhat) written by fwd
+    fwd = slab + knots + 2 * Hp * B * 4           # + z0 in, zT out
+    bwd = slab + knots + n_intervals * _SLAB * B * ct_bytes + 2 * Hp * B * 4
+    min_bytes = fwd + bwd
+
+    ops = []
+
+    def add(mult, m, k):
+        ops.append((mult * 2 * m * k, _util(m, k)))
+
+    per_iv = m_substeps
+    add(per_iv, W, Hp)            # fwd: new stage h1
+    add(per_iv, CHp, W)           # fwd: new stage g
+    add(2 * per_iv, W, Hp)        # bwd: reconstruct both stage h1's
+    add(2 * per_iv, CHp, W)       # bwd: reconstruct both stage g's
+    add(per_iv, CHp, W)           # bwd: dw2t (K=tile -> full K)
+    ops[-1] = (ops[-1][0], _util(CHp, 128))
+    add(per_iv, W, CHp)           # bwd: dh1
+    add(per_iv, W, Hp)            # bwd: dw1t (K=tile -> full K)
+    ops[-1] = (ops[-1][0], _util(W, 128))
+    add(2 * per_iv, Hp, W)        # bwd: dy for both carried cotangents
+
+    flops_lane_iv = sum(f for f, _ in ops)
+    peak_equiv = sum(f / u for f, u in ops)
+    attainable_frac = flops_lane_iv / peak_equiv
+    flops_per_step = flops_lane_iv * n_intervals * B
+
+    grid_steps = (-(-B // tile_fwd) + -(-B // tile_bwd)) * n_intervals
+    return {
+        "min_bytes_per_step": int(min_bytes),
+        "attainable_frac": attainable_frac,
+        "flops_per_step": int(flops_per_step),
+        "grid_steps": int(grid_steps),
+    }
+
+
 def report(peak_tflops=197.0, peak_gbps=819.0, measured_ms=None,
            measured_tflops=None, measured_gbps=None):
     m = flagship_model(batch=4096, n_intervals=99, H=8, C=3, W=128)

@@ -185,6 +185,76 @@ def test_tensor_parallel_custom_vector_field_rules():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-8, atol=1e-10)
 
 
+@pytest.mark.parametrize("adjoint", [False, True])
+def test_data_parallel_reversible_heun_matches_single_device(adjoint):
+    """BASELINE config 5 names a v5p-8 mesh for the reversible-Heun backend:
+    the DP-sharded train step (direct backprop AND the O(1) inverse-map
+    adjoint, reversible_adjoint.py) must match single-device numerics."""
+    cfg = NeuralCDEConfig(
+        input_channels=3, hidden_channels=4, output_channels=1, width=16,
+        interpolation="cubic", solver="reversible_heun", adjoint=adjoint,
+        step_size=1.0,
+    )
+    x = rng.standard_normal((16, 12, 3))
+    y = (rng.random(16) > 0.5).astype(np.float64)
+    coeffs = tc.hermite_cubic_coefficients_with_backward_differences(
+        jnp.asarray(x))
+    params = init_neural_cde(jax.random.PRNGKey(5), cfg, dtype=jnp.float64)
+    params_ref, loss_ref = _run_steps(cfg, params, coeffs, jnp.asarray(y))
+
+    mesh = make_mesh(data=8, model=1)
+    coeffs_s = shard_batch(mesh, coeffs)
+    y_s = jax.device_put(jnp.asarray(y), batch_sharding(mesh))
+    params_s = jax.tree_util.tree_map(
+        lambda p: jax.device_put(p, NamedSharding(mesh, P())), params
+    )
+    params_dp, loss_dp = _run_steps(cfg, params_s, coeffs_s, y_s)
+
+    assert np.isclose(loss_ref, loss_dp, rtol=1e-9)
+    for a, b in zip(jax.tree_util.tree_leaves(params_ref),
+                    jax.tree_util.tree_leaves(params_dp)):
+        assert np.allclose(np.asarray(a), np.asarray(b), rtol=1e-8, atol=1e-10)
+
+
+def test_data_parallel_per_sample_solve_matches_single_device():
+    """Per-sample adaptive stepping under batch sharding: each lane runs its
+    own dopri5 controller, the batch axis lives across the mesh, and values +
+    parameter gradients match the single-device per-sample solve."""
+    key = jax.random.PRNGKey(7)
+    w = jax.random.normal(key, (4, 4 * 3), dtype=jnp.float64) * 0.3
+    x = rng.standard_normal((16, 12, 3))
+    # magnitude spread -> genuinely different per-lane step sequences
+    x *= (10.0 ** np.linspace(-0.5, 0.5, 16))[:, None, None]
+    coeffs = tc.hermite_cubic_coefficients_with_backward_differences(
+        jnp.asarray(x))
+    z0 = jnp.asarray(rng.standard_normal((16, 4)))
+
+    def loss(w_, coeffs_, z0_):
+        X = tc.CubicSpline(coeffs_)
+
+        def f(t, z):
+            # per-sample slicing vmaps the field over lanes: z may arrive
+            # batched (B, H) or per-lane (H,)
+            return jnp.tanh(z @ w_).reshape(z.shape[:-1] + (4, 3))
+
+        out = tc.cdeint(X, f, z0_, X.interval, adjoint=False,
+                        method="dopri5", rtol=1e-6, atol=1e-8,
+                        options=dict(per_sample=True))
+        return jnp.sum(out[:, -1] ** 2)
+
+    l_ref, g_ref = jax.jit(jax.value_and_grad(loss))(w, coeffs, z0)
+
+    mesh = make_mesh(data=8, model=1)
+    coeffs_s = shard_batch(mesh, coeffs)
+    z0_s = jax.device_put(z0, batch_sharding(mesh))
+    w_s = jax.device_put(w, NamedSharding(mesh, P()))
+    l_dp, g_dp = jax.jit(jax.value_and_grad(loss))(w_s, coeffs_s, z0_s)
+
+    assert np.isclose(float(l_ref), float(l_dp), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(g_dp), np.asarray(g_ref),
+                               rtol=1e-8, atol=1e-10)
+
+
 @pytest.mark.slow
 def test_seq_sharded_masked_cubic_fit_matches_single_device():
     # VERDICT r2 item 4: the NaN-masked natural-cubic fit with the LENGTH

@@ -182,7 +182,11 @@ def _psd_fwd_kernel(ct_ref, z0_ref, w1_ref, b1_ref, w2_ref, b2_ref, ctl_ref,
     # (iteration count + a do-while continue flag).
     ctl_scr[0:1, :] = t_in                     # t per lane
     ctl_scr[1:2, :] = ctl_ref[1:2, :]          # dt proposal per lane
-    ctl_scr[2:3, :] = jnp.zeros((1, tile), jnp.float32)  # attempted (chunk)
+    # Attempted count carries ACROSS chunks (row 2 of the ctl carry): an
+    # explicit caller max_steps is a GLOBAL budget like the XLA path's, not
+    # per chunk — a lane entering this chunk with its budget spent goes
+    # inactive immediately and poisons below.
+    ctl_scr[2:3, :] = ctl_ref[2:3, :]          # attempted (cumulative)
     ctl_scr[3:4, :] = jnp.zeros((1, tile), jnp.float32)  # accepted (chunk)
     ctl_scr[4:_AUX_ROWS, :] = jnp.zeros((_AUX_ROWS - 4, tile), jnp.float32)
 
@@ -292,6 +296,7 @@ def _psd_fwd_kernel(ct_ref, z0_ref, w1_ref, b1_ref, w2_ref, b2_ref, ctl_ref,
     natt_ref[:, :] = ctl_scr[2:3, :]
     ctlout_ref[0:1, :] = ctl_scr[0:1, :]
     ctlout_ref[1:2, :] = ctl_scr[1:2, :]
+    ctlout_ref[2:3, :] = ctl_scr[2:3, :]
 
     # LOUD per-lane exhaustion: a lane that did not reach its chunk target
     # ran out of budget — poison its carried state and the output rows this
@@ -477,7 +482,7 @@ def _make_fused_dopri_ps(n, tile, n_out, t_chunk_end, t0g, w, rtol, atol,
         out_shape=(
             jax.ShapeDtypeStruct((n_out_rows * Hp, tile), jnp.float32),  # zout
             jax.ShapeDtypeStruct((Hp, tile), jnp.float32),   # z carry
-            jax.ShapeDtypeStruct((2, tile), jnp.float32),    # (t, dt) carry
+            jax.ShapeDtypeStruct((3, tile), jnp.float32),    # (t, dt, att)
             jax.ShapeDtypeStruct((1, tile), jnp.float32),    # accepted/lane
             jax.ShapeDtypeStruct((1, tile), jnp.float32),    # attempted/lane
             jax.ShapeDtypeStruct((cap * Hp, tile), jnp.float32),       # z store
@@ -537,7 +542,7 @@ def _make_fused_dopri_ps(n, tile, n_out, t_chunk_end, t0g, w, rtol, atol,
         ct2, z0t, w1t, b1, w2t, b2, ts_rows, zs, ax, c = res
         dct, dz0, dzout_in, dw1, db1, dw2, db2 = bwd_call(
             ct2, zs, ax, c, gz, gzfin, w1t, b1, w2t, b2, ts_rows)
-        zero_ctl = jnp.zeros((2, z0t.shape[1]), jnp.float32)
+        zero_ctl = jnp.zeros((3, z0t.shape[1]), jnp.float32)
         zero_row = jnp.zeros((1, z0t.shape[1]), jnp.float32)
         zero_ts = jnp.zeros_like(ts_rows)
         return (dct, dz0, dw1, db1, dw2, db2, zero_ctl, zero_ts, zero_row,
@@ -792,24 +797,34 @@ def try_fused_dopri5_per_sample(X, func, z0, ts, *, rtol, atol, max_steps,
         # back through the chunk chain's carried-input gradient).
         zout = jnp.concatenate([p.z0t] * n_out, axis=0)
         z_carry = p.z0t
-        ctl = jnp.concatenate([t_start_l, dt0_g], axis=0)
+        # ctl rows: (t, dt, attempted-so-far) — the attempt count carries
+        # across chunks so an explicit max_steps is a GLOBAL budget, matching
+        # the XLA path (per-chunk capacity is still bounded by cap_c; the
+        # decline rule above guarantees cap_c can honor the budget).
+        ctl = jnp.concatenate(
+            [t_start_l, dt0_g, jnp.zeros_like(t_start_l)], axis=0)
         nacc_total = jnp.zeros((1, p.Bp), jnp.float32)
         natt_total = jnp.zeros((1, p.Bp), jnp.float32)
         for (j0, j1, c_end) in chunks:
             n_c = j1 - j0
             cap_c = chunk_cap(n_c)
+            # Explicit max_steps: a global budget against the cumulative
+            # count.  Default: non-binding — the per-chunk physical
+            # capacity (the i < cap loop bound) is the loud default budget,
+            # as before.
+            budget = int(max_steps) if max_steps is not None else (1 << 30)
             ct_chunk = jax.lax.dynamic_slice_in_dim(
                 p.ct2, j0 * _SLAB, n_c * _SLAB, axis=0)
             solve = _make_fused_dopri_ps(
                 n_c, p.Bp, n_out, float(c_end), float(grid[j0]), w,
-                cfgd["rtol"], cfgd["atol"], int(cap_c), int(cap_c),
+                cfgd["rtol"], cfgd["atol"], budget, int(cap_c),
                 C, H, p.W, p.CHp, p.B, 0.9, 10.0, 0.2, interpret, linear)
             zout, z_carry, ctl, na, nt = solve(
                 ct_chunk, z_carry, p.w1t, p.b1c, p.w2t, p.b2c, ctl,
                 ts_rows, tend, zout)
             ctl = jax.lax.stop_gradient(ctl)
             nacc_total = nacc_total + na
-            natt_total = natt_total + nt
+            natt_total = nt  # cumulative inside the kernel
 
         z3 = zout.reshape(n_out, p.Hp, p.Bp)[:, :H, :p.B]
         group_outs.append(z3)
