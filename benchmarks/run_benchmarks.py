@@ -301,6 +301,7 @@ def bench_irregular():
 def bench_cubic_fit(batch=8192, length=4096, channels=1):
     import jax, jax.numpy as jnp
     import torchcde_tpu as tc
+    import traffic_model
 
     rng = np.random.default_rng(0)
     x = rng.standard_normal((batch, length, channels)).astype(np.float32)
@@ -308,10 +309,26 @@ def bench_cubic_fit(batch=8192, length=4096, channels=1):
     xj = jnp.asarray(x)
     t = _chained_time(tc.natural_cubic_coeffs, xj, reps=4, unroll=True)
     gbytes = x.nbytes / 1e9
-    return _annotate(
+    res = _annotate(
         {"metric": f"natural cubic NaN-masked fit ({batch}x{length}x{channels})",
          "value": round(1e3 * t, 3), "unit": "ms",
          "gb_per_s": round(gbytes / t, 2)}, t)
+    # Floor accounting (round-4 VERDICT item 2): the binding constraint is
+    # the serial masked-scan chain, not HBM (traffic_model.cubic_fit_model;
+    # the sub-size sweep that pins cycles/sub-step as structure is recorded
+    # in its docstring).
+    m = traffic_model.cubic_fit_model(batch, length, channels)
+    res["min_hbm_mb_5pass"] = round(m["min_bytes"] / 1e6, 1)
+    res["hbm_floor_ms_at_peak"] = round(m["hbm_floor_ms_at_peak"], 3)
+    res["latency_floor_ms"] = round(m["latency_floor_ms"], 3)
+    res["measured_over_latency_floor"] = round(1e3 * t / m["latency_floor_ms"], 2)
+    res["note"] = (
+        "latency-floor bound: 5 dependent masked-scan phases x "
+        f"{m['substeps']} serial (8,256) sub-steps at a measured ~57 "
+        "cycles/sub-step (sub=16/32/64 are measured regressions — "
+        "traffic_model.cubic_fit_model); the 5-pass HBM floor "
+        f"({res['hbm_floor_ms_at_peak']} ms) is not the binding constraint")
+    return res
 
 
 def bench_log_ode():
@@ -430,11 +447,26 @@ def bench_rev_heun():
     step_adj = make_train_step(cfg_adj, opt)
     t_adj = _scanned_train_time(step_adj, params, opt_state, coeffs, yj)
     _LAST_COST = cost_direct  # annotate the headline (direct) timing
-    return _annotate(
+
+    # Floor accounting (round-4 VERDICT item 2): minimal bytes, thin-K
+    # attainable compute, and the serial grid-step chain.
+    import traffic_model
+
+    m = traffic_model.rev_heun_model(batch, 99, H=8, C=3, W=128)
+    peaks = roofline._peak_for(roofline.chip_kind())
+    att_tf = (peaks["tflops_bf16"] * m["attainable_frac"]) if peaks else None
+    res = _annotate(
         {"metric": f"reversible-Heun train step (batch {batch}, {n_dev} device(s))",
          "value": round(1e3 * t, 3), "unit": "ms",
          "direct_backprop_ms": round(1e3 * t, 3),
-         "inverse_map_adjoint_ms": round(1e3 * t_adj, 3)}, t)
+         "inverse_map_adjoint_ms": round(1e3 * t_adj, 3)}, t,
+        attainable_tflops=att_tf)
+    res["min_hbm_mb_per_step"] = round(m["min_bytes_per_step"] / 1e6, 1)
+    if att_tf:
+        res["compute_floor_ms"] = round(
+            m["flops_per_step"] / (att_tf * 1e12) * 1e3, 3)
+    res["grid_steps_per_train_step"] = m["grid_steps"]
+    return res
 
 
 def bench_seq_pcr():

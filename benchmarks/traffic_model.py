@@ -169,9 +169,13 @@ def rev_heun_model(batch, n_intervals, H, C, W, m_substeps=1,
     def add(mult, m, k):
         ops.append((mult * 2 * m * k, _util(m, k)))
 
+    # Forward: dX/dt is DISCONTINUOUS at knots, so fhat cannot be carried
+    # across an interval boundary — every interval re-evaluates the stage at
+    # its local fraction 0 plus one per substep: (m+1) evals per interval is
+    # workload structure, not implementation slack.
     per_iv = m_substeps
-    add(per_iv, W, Hp)            # fwd: new stage h1
-    add(per_iv, CHp, W)           # fwd: new stage g
+    add(per_iv + 1, W, Hp)        # fwd: stage h1 (m substeps + knot re-eval)
+    add(per_iv + 1, CHp, W)       # fwd: stage g
     add(2 * per_iv, W, Hp)        # bwd: reconstruct both stage h1's
     add(2 * per_iv, CHp, W)       # bwd: reconstruct both stage g's
     add(per_iv, CHp, W)           # bwd: dw2t (K=tile -> full K)

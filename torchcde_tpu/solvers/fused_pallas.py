@@ -739,7 +739,11 @@ def try_fused_mlp_pallas(rows, z0, field, method, m, dt_sub, n,
 
 
 def _rev_fwd_kernel(ct_ref, z0_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                    y_ref, yhat_ref, y_scr, yhat_scr, *, m, dt_sub, C, H):
+                    y_ref, yhat_ref, y_scr, yhat_scr, *, m, dt_sub, C, H, g):
+    """Processes ``g`` consecutive intervals per grid step: one interval per
+    step leaves the kernel Mosaic-overhead-bound (measured 4.3 us/grid step
+    vs ~1.5 us of attainable thin-K compute at tile 4096), so consecutive
+    intervals stream as one slab block and amortise the fixed cost."""
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -748,34 +752,39 @@ def _rev_fwd_kernel(ct_ref, z0_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         yhat_scr[:, :] = z0_ref[:, :]
 
     CHp = w2_ref.shape[0]
+    Hp = z0_ref.shape[0]
     rep = sel = None
     if H % 8:
         rep, sel = _selection_matrices(C, H, CHp, jnp.float32)
     w1t, b1 = w1_ref[:, :], b1_ref[:, :]
     w2t, b2 = w2_ref[:, :], b2_ref[:, :]
-    slab = ct_ref[:, :]
     y, yhat = y_scr[:, :], yhat_scr[:, :]
 
-    fhat, _h, _g, _dx = _stage_forward(yhat, 0.0, slab, w1t, b1, w2t, b2,
-                                       rep, sel, C, H)
-    for s in range(m):
-        yhat1 = 2.0 * y - yhat + dt_sub * fhat
-        fhat1, _h, _g, _dx = _stage_forward(yhat1, (s + 1) * dt_sub, slab,
-                                            w1t, b1, w2t, b2, rep, sel, C, H)
-        y = y + (0.5 * dt_sub) * (fhat + fhat1)
-        yhat, fhat = yhat1, fhat1
+    for q in range(g):
+        slab = ct_ref[q * _SLAB:(q + 1) * _SLAB, :]
+        # dX/dt is discontinuous at knots: re-evaluate at the new interval's
+        # local fraction 0 rather than carrying fhat across the knot.
+        fhat, _h, _g_, _dx = _stage_forward(yhat, 0.0, slab, w1t, b1, w2t,
+                                            b2, rep, sel, C, H)
+        for s in range(m):
+            yhat1 = 2.0 * y - yhat + dt_sub * fhat
+            fhat1, _h, _g_, _dx = _stage_forward(
+                yhat1, (s + 1) * dt_sub, slab, w1t, b1, w2t, b2, rep, sel,
+                C, H)
+            y = y + (0.5 * dt_sub) * (fhat + fhat1)
+            yhat, fhat = yhat1, fhat1
+        y_ref[q * Hp:(q + 1) * Hp, :] = y
+        yhat_ref[q * Hp:(q + 1) * Hp, :] = yhat
 
     y_scr[:, :] = y
     yhat_scr[:, :] = yhat
-    y_ref[:, :] = y
-    yhat_ref[:, :] = yhat
 
 
 def _rev_bwd_kernel(ct_ref, yk_ref, yhk_ref, gz_ref,
                     w1_ref, b1_ref, w2_ref, b2_ref,
                     dct_ref, dz0_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
                     ay_scr, ayh_scr, dw1_acc, db1_acc, dw2_acc, db2_acc,
-                    *, m, dt_sub, C, H):
+                    *, m, dt_sub, C, H, g):
     jr = pl.program_id(1)
 
     @pl.when(jr == 0)
@@ -788,65 +797,75 @@ def _rev_bwd_kernel(ct_ref, yk_ref, yhk_ref, gz_ref,
         db2_acc[:, :] = jnp.zeros_like(db2_acc)
 
     CHp = w2_ref.shape[0]
+    Hp = dz0_ref.shape[0]
     rep = sel = None
     if H % 8:
         rep, sel = _selection_matrices(C, H, CHp, jnp.float32)
     w1t, b1 = w1_ref[:, :], b1_ref[:, :]
     w2t, b2 = w2_ref[:, :], b2_ref[:, :]
-    slab = ct_ref[:, :]
 
-    ay = ay_scr[:, :] + gz_ref[:, :]
+    ay = ay_scr[:, :]
     ayh = ayh_scr[:, :]
-    y1, yhat1 = yk_ref[:, :], yhk_ref[:, :]
+    tile_w = ct_ref.shape[1]
 
-    tile_w = slab.shape[1]
-    db_acc = jnp.zeros((C, tile_w), slab.dtype)
-    dc_acc = jnp.zeros((C, tile_w), slab.dtype)
-    dd_acc = jnp.zeros((C, tile_w), slab.dtype)
+    # Blocks hold g consecutive intervals (row q of the block <-> interval
+    # group_start+q); the block sequence is reversed by the index map and
+    # the in-block walk below is reversed too -> a full reverse sweep.
+    for q in reversed(range(g)):
+        slab = ct_ref[q * _SLAB:(q + 1) * _SLAB, :]
+        # knot q+1's output cotangent enters when its interval's VJP starts
+        ay = ay + gz_ref[q * Hp:(q + 1) * Hp, :]
+        y1 = yk_ref[q * Hp:(q + 1) * Hp, :]
+        yhat1 = yhk_ref[q * Hp:(q + 1) * Hp, :]
 
-    for s in reversed(range(m)):
-        fr1 = (s + 1) * dt_sub
-        fr0 = s * dt_sub
-        # Exact inverse map reconstructs the step's inputs; the two stage
-        # evaluations double as the recompute for the step's VJP.
-        f1, h11, g1, dx1 = _stage_forward(yhat1, fr1, slab, w1t, b1, w2t, b2,
-                                          rep, sel, C, H)
-        yhat0 = 2.0 * y1 - yhat1 - dt_sub * f1
-        f0, h10, g0, dx0 = _stage_forward(yhat0, fr0, slab, w1t, b1, w2t, b2,
-                                          rep, sel, C, H)
-        y0 = y1 - (0.5 * dt_sub) * (f1 + f0)
+        db_acc = jnp.zeros((C, tile_w), slab.dtype)
+        dc_acc = jnp.zeros((C, tile_w), slab.dtype)
+        dd_acc = jnp.zeros((C, tile_w), slab.dtype)
 
-        # VJP of: yhat1 = 2 y0 - yhat0 + dt f(yhat0); y1 = y0 + dt/2 (f(yhat0) + f(yhat1)).
-        u1 = (0.5 * dt_sub) * ay
-        v1, dw1t, db1_, dw2t, db2_, ddx1 = _stage_backward(
-            u1, yhat1, fr1, h11, g1, dx1, w1t, w2t, rep, sel, C, H)
-        dw1_acc[:, :] += dw1t
-        db1_acc[:, :] += db1_
-        dw2_acc[:, :] += dw2t
-        db2_acc[:, :] += db2_
-        db_acc, dc_acc, dd_acc = (db_acc + ddx1, dc_acc + fr1 * ddx1,
-                                  dd_acc + (fr1 * fr1) * ddx1)
-        ayh1 = ayh + v1
-        u0 = (0.5 * dt_sub) * ay + dt_sub * ayh1
-        v0, dw1t, db1_, dw2t, db2_, ddx0 = _stage_backward(
-            u0, yhat0, fr0, h10, g0, dx0, w1t, w2t, rep, sel, C, H)
-        dw1_acc[:, :] += dw1t
-        db1_acc[:, :] += db1_
-        dw2_acc[:, :] += dw2t
-        db2_acc[:, :] += db2_
-        db_acc, dc_acc, dd_acc = (db_acc + ddx0, dc_acc + fr0 * ddx0,
-                                  dd_acc + (fr0 * fr0) * ddx0)
-        ay = ay + 2.0 * ayh1
-        ayh = -ayh1 + v0
-        y1, yhat1 = y0, yhat0
+        for s in reversed(range(m)):
+            fr1 = (s + 1) * dt_sub
+            fr0 = s * dt_sub
+            # Exact inverse map reconstructs the step's inputs; the two
+            # stage evaluations double as the recompute for the step's VJP.
+            f1, h11, g1, dx1 = _stage_forward(yhat1, fr1, slab, w1t, b1,
+                                              w2t, b2, rep, sel, C, H)
+            yhat0 = 2.0 * y1 - yhat1 - dt_sub * f1
+            f0, h10, g0, dx0 = _stage_forward(yhat0, fr0, slab, w1t, b1,
+                                              w2t, b2, rep, sel, C, H)
+            y0 = y1 - (0.5 * dt_sub) * (f1 + f0)
+
+            # VJP of: yhat1 = 2 y0 - yhat0 + dt f(yhat0); y1 = y0 + dt/2 (f(yhat0) + f(yhat1)).
+            u1 = (0.5 * dt_sub) * ay
+            v1, dw1t, db1_, dw2t, db2_, ddx1 = _stage_backward(
+                u1, yhat1, fr1, h11, g1, dx1, w1t, w2t, rep, sel, C, H)
+            dw1_acc[:, :] += dw1t
+            db1_acc[:, :] += db1_
+            dw2_acc[:, :] += dw2t
+            db2_acc[:, :] += db2_
+            db_acc, dc_acc, dd_acc = (db_acc + ddx1, dc_acc + fr1 * ddx1,
+                                      dd_acc + (fr1 * fr1) * ddx1)
+            ayh1 = ayh + v1
+            u0 = (0.5 * dt_sub) * ay + dt_sub * ayh1
+            v0, dw1t, db1_, dw2t, db2_, ddx0 = _stage_backward(
+                u0, yhat0, fr0, h10, g0, dx0, w1t, w2t, rep, sel, C, H)
+            dw1_acc[:, :] += dw1t
+            db1_acc[:, :] += db1_
+            dw2_acc[:, :] += dw2t
+            db2_acc[:, :] += db2_
+            db_acc, dc_acc, dd_acc = (db_acc + ddx0, dc_acc + fr0 * ddx0,
+                                      dd_acc + (fr0 * fr0) * ddx0)
+            ay = ay + 2.0 * ayh1
+            ayh = -ayh1 + v0
+            y1, yhat1 = y0, yhat0
+
+        dct_ref[q * _SLAB:(q + 1) * _SLAB, :] = jnp.concatenate(
+            [db_acc, dc_acc, dd_acc,
+             jnp.zeros((_SLAB - 3 * C, tile_w), slab.dtype)], axis=0)
 
     ay_scr[:, :] = ay
     ayh_scr[:, :] = ayh
     # After the earliest interval, y_0 = yhat_0 = z0: both adjoints flow there.
     dz0_ref[:, :] = ay + ayh
-    dct_ref[:, :] = jnp.concatenate(
-        [db_acc, dc_acc, dd_acc,
-         jnp.zeros((_SLAB - 3 * C, tile_w), slab.dtype)], axis=0)
     dw1_ref[0] = dw1_acc[:, :]
     db1_ref[0] = db1_acc[:, :]
     dw2_ref[0] = dw2_acc[:, :]
@@ -859,15 +878,28 @@ def _make_fused_rev_solve(n, tile, n_tiles, m, dt_sub, C, H, W, CHp, interpret):
     Returns y at knots 1..n (yhat is an internal residual)."""
     Hp = _round_up(H, 8)
     Bp = tile * n_tiles
-    grid = (n_tiles, n)
+    # One interval per grid step is Mosaic-overhead-bound (measured ~4.3 us
+    # per grid step vs ~1.5 us of attainable thin-K compute at tile 4096):
+    # stream g consecutive intervals per grid step.  g must divide n (the
+    # block index maps below address whole groups); cap the unroll at
+    # 16 interval-substeps per kernel body.
+    g = 1
+    for cand in range(min(n, max(1, 16 // max(m, 1))), 0, -1):
+        if n % cand == 0:
+            g = cand
+            break
+    n_groups = n // g
+    grid = (n_tiles, n_groups)
 
-    slab_spec = pl.BlockSpec((_SLAB, tile), lambda i, j: (j, i),
+    slab_spec = pl.BlockSpec((g * _SLAB, tile), lambda i, j: (j, i),
                              memory_space=pltpu.VMEM)
-    slab_spec_rev = pl.BlockSpec((_SLAB, tile), lambda i, jr: (n - 1 - jr, i),
+    slab_spec_rev = pl.BlockSpec((g * _SLAB, tile),
+                                 lambda i, jr: (n_groups - 1 - jr, i),
                                  memory_space=pltpu.VMEM)
-    z_spec = pl.BlockSpec((Hp, tile), lambda i, j: (j, i),
+    z_spec = pl.BlockSpec((g * Hp, tile), lambda i, j: (j, i),
                           memory_space=pltpu.VMEM)
-    z_spec_rev = pl.BlockSpec((Hp, tile), lambda i, jr: (n - 1 - jr, i),
+    z_spec_rev = pl.BlockSpec((g * Hp, tile),
+                              lambda i, jr: (n_groups - 1 - jr, i),
                               memory_space=pltpu.VMEM)
     z0_spec = pl.BlockSpec((Hp, tile), lambda i, j: (0, i),
                            memory_space=pltpu.VMEM)
@@ -878,7 +910,7 @@ def _make_fused_rev_solve(n, tile, n_tiles, m, dt_sub, C, H, W, CHp, interpret):
                             memory_space=pltpu.VMEM)
 
     fwd_call = pl.pallas_call(
-        functools.partial(_rev_fwd_kernel, m=m, dt_sub=dt_sub, C=C, H=H),
+        functools.partial(_rev_fwd_kernel, m=m, dt_sub=dt_sub, C=C, H=H, g=g),
         out_shape=(jax.ShapeDtypeStruct((n * Hp, Bp), jnp.float32),
                    jax.ShapeDtypeStruct((n * Hp, Bp), jnp.float32)),
         grid=grid,
@@ -900,7 +932,7 @@ def _make_fused_rev_solve(n, tile, n_tiles, m, dt_sub, C, H, W, CHp, interpret):
         memory_space=pltpu.VMEM)
 
     bwd_call = pl.pallas_call(
-        functools.partial(_rev_bwd_kernel, m=m, dt_sub=dt_sub, C=C, H=H),
+        functools.partial(_rev_bwd_kernel, m=m, dt_sub=dt_sub, C=C, H=H, g=g),
         out_shape=(
             jax.ShapeDtypeStruct((n * _SLAB, Bp), jnp.float32),
             jax.ShapeDtypeStruct((Hp, Bp), jnp.float32),
