@@ -605,7 +605,14 @@ def bench_per_sample():
         (256, 1024, 8, 32) if jax.devices()[0].platform == "tpu"
         else (16, 30, 4, 8))
     rng = np.random.default_rng(0)
-    x = rng.standard_normal((batch, length, 3)).astype(np.float32)
+    # Scale 0.06: at unit scale every lane of this 1023-unit span needs more
+    # attempts than ANY budget (the round-4 bench's nfe mean == max == the
+    # stats cap was budget saturation, not stiffness spread) — tamed, every
+    # lane completes inside BOTH paths' budgets (the XLA path's default is
+    # 4096 attempts; the fused path's is its per-chunk capacity), so the
+    # speedup is full-work vs full-work and the NFE accounting below
+    # measures what the mode actually saves.
+    x = rng.standard_normal((batch, length, 3)).astype(np.float32) * 0.06
     # Magnitude spread -> genuinely different per-sample step counts.
     x *= (10.0 ** np.linspace(-0.5, 0.5, batch))[:, None, None].astype(np.float32)
     coeffs = jax.jit(tc.hermite_cubic_coefficients_with_backward_differences)(
@@ -618,29 +625,44 @@ def bench_per_sample():
     func = MLPVectorField(w1, b1, w2, b2, hidden, 3)
     z0j = jnp.asarray(rng.standard_normal((batch, hidden)), jnp.float32)
 
-    def op(z0_, c_):
-        # No explicit max_steps: the kernel budgets per chunk (an explicit
-        # budget larger than a chunk's own would decline to the XLA path).
-        Xl = tc.CubicSpline(c_)
-        return tc.cdeint(X=Xl, func=func, z0=z0_, t=Xl.interval,
-                         method="dopri5", adjoint=False,
-                         options=dict(per_sample=True))[..., -1, :]
+    def make_op(max_steps):
+        def op(z0_, c_):
+            # Fused run: no explicit max_steps — the kernel budgets per
+            # chunk (an explicit budget larger than a chunk's own would
+            # decline to the XLA path) and completes every lane here.
+            Xl = tc.CubicSpline(c_)
+            return tc.cdeint(X=Xl, func=func, z0=z0_, t=Xl.interval,
+                             method="dopri5", adjoint=False,
+                             max_steps=max_steps,
+                             options=dict(per_sample=True))[..., -1, :]
+        return op
 
+    op = make_op(None)
     # Default dispatch: the fused per-lane Pallas kernel
     # (solvers/fused_dopri_persample.py) on TPU.
     t = _chained_time(op, z0j, reps=4, extras=(coeffs,))
-    # The round-3 formulation: vmapped per-stage XLA dispatches.
+    # The round-3 formulation: vmapped per-stage XLA dispatches.  Its
+    # bounded-loop discipline pays the WHOLE step budget regardless of when
+    # lanes finish, and its default budget (4096 attempts) truncates the
+    # hardest lanes of this problem (measured need: 1617..7642 attempts) —
+    # give it the budget that completes every lane so the comparison is
+    # full work vs full work.
     fused_pallas.force_fused_pallas(False)
     try:
-        t_xla = _chained_time(op, z0j, reps=4, extras=(coeffs,))
+        t_xla = _chained_time(make_op(8192), z0j, reps=4, extras=(coeffs,))
     finally:
         fused_pallas.force_fused_pallas(None)
 
+    # The timed fused run must be doing FULL work for the comparison to be
+    # fair: check no lane NaN-poisoned on a per-chunk capacity budget.
+    out_fused = np.asarray(op(z0j, coeffs))
+    finite_lanes = int(np.isfinite(out_fused).all(axis=-1).sum())
+
     _, stats_ps = tc.cdeint(X=X, func=func, z0=z0j, t=X.interval,
-                            method="dopri5", adjoint=False, max_steps=4096,
+                            method="dopri5", adjoint=False, max_steps=8192,
                             return_stats=True, options=dict(per_sample=True))
     _, stats_bn = tc.cdeint(X=X, func=func, z0=z0j, t=X.interval,
-                            method="dopri5", adjoint=False, max_steps=4096,
+                            method="dopri5", adjoint=False, max_steps=8192,
                             return_stats=True)
     nfe_ps = np.asarray(stats_ps["nfe"])
     nfe_bn = int(np.asarray(stats_bn["nfe"]))
@@ -650,11 +672,18 @@ def bench_per_sample():
          "value": round(1e3 * t, 3), "unit": "ms",
          "xla_path_ms": round(1e3 * t_xla, 3),
          "fused_speedup_vs_xla_path": round(t_xla / t, 2),
+         "fused_finite_lanes": f"{finite_lanes}/{batch}",
          "nfe_per_sample_mean": round(float(nfe_ps.mean()), 1),
+         "nfe_per_sample_min": int(nfe_ps.min()),
          "nfe_per_sample_max": int(nfe_ps.max()),
          "nfe_batch_norm": nfe_bn,
-         "work_saved_vs_batch_norm": round(
-             1.0 - float(nfe_ps.mean()) / max(nfe_bn, 1), 3)}, t)
+         "nfe_note": (
+             "the whole-batch RMS norm finishes in fewer attempts than the "
+             "hardest lane needs alone because the sqrt(batch) averaging "
+             "DILUTES stiff lanes' error (their local error is under-"
+             "controlled by ~16x at batch 256) — the per-sample controller "
+             "resolves every lane at the requested tolerance (torchode, "
+             "arxiv 2210.12375)")}, t)
 
 
 BENCHES = {
