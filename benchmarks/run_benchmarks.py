@@ -512,9 +512,24 @@ def bench_rev_heun():
          "inverse_map_adjoint_ms": round(1e3 * t_adj, 3)}, t,
         attainable_tflops=att_tf)
     res["min_hbm_mb_per_step"] = round(m["min_bytes_per_step"] / 1e6, 1)
+    # XLA's cost_analysis only surfaces the forward pallas_call's declared
+    # CostEstimate for this custom_vjp pair (the backward kernel's flops are
+    # missing), so the roofline fields undercount ~3x: recompute the MXU
+    # rate from the analytic op-mix model instead.
+    tflops_model = m["flops_per_step"] / t / 1e12
+    res["tflops"] = round(tflops_model, 3)
+    res["flops_source"] = "analytic(rev_heun_model)"
     if att_tf:
         res["compute_floor_ms"] = round(
             m["flops_per_step"] / (att_tf * 1e12) * 1e3, 3)
+        res["pct_attainable_mxu"] = round(100 * tflops_model / att_tf, 1)
+        if tflops_model >= 0.7 * att_tf:
+            res["bound"] = "mxu-attainable"
+            res["note"] = (
+                "at the thin-operand compute floor after interval-grouped "
+                "grid steps: measured/floor = "
+                f"{round(1e3 * t / res['compute_floor_ms'], 2)}x; see "
+                "traffic_model.rev_heun_model for the bound")
     res["grid_steps_per_train_step"] = m["grid_steps"]
     return res
 
