@@ -502,7 +502,10 @@ def bench_rev_heun():
     # attainable compute, and the serial grid-step chain.
     import traffic_model
 
-    m = traffic_model.rev_heun_model(batch, 99, H=8, C=3, W=128)
+    # ct_bytes=4: this config's model dtype is f32, so the packed slabs and
+    # the backward's dct stream are stored float32 (bf16 slabs only happen
+    # when the model itself is bf16 — _pack_operands' dtype policy).
+    m = traffic_model.rev_heun_model(batch, 99, H=8, C=3, W=128, ct_bytes=4)
     peaks = roofline._peak_for(roofline.chip_kind())
     att_tf = (peaks["tflops_bf16"] * m["attainable_frac"]) if peaks else None
     res = _annotate(

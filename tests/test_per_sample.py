@@ -503,3 +503,48 @@ def test_fused_per_sample_linear_control():
     a = np.asarray(g_fp, np.float64).ravel()
     b = np.asarray(g_ref, np.float64).ravel()
     assert np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-8) < 0.05
+
+
+def test_lane_dx_lead_keeps_left_continuity_at_chunk_boundary():
+    """Chunk streaming with linear controls: a stage landing EXACTLY on the
+    chunk-boundary knot (every clamped step produces one) must read the
+    LEFT interval's slope, matching the reference's bucketize convention
+    and the unchunked kernel.  Chunks after the first carry one extra
+    leading interval (slab 0 = previous chunk's last interval) and select
+    with ceil(pos) instead of ceil(pos)-1 (``lead=True``)."""
+    from torchcde_tpu.solvers.fused_dopri_persample import _lane_dx
+
+    C, tile = 1, 4
+    # Global table: slope of interval j is j+1 (intervals 0..3, knots 0..4).
+    def table(js):
+        n = len(js)
+        ct3 = np.zeros((n, 16, tile), np.float32)
+        for row, j in enumerate(js):
+            ct3[row, 0, :] = j + 1.0
+        return jnp.asarray(ct3), jax.lax.broadcasted_iota(
+            jnp.int32, (n, 1, tile), 0)
+
+    tval = jnp.full((1, tile), 2.0, jnp.float32)  # exactly knot 2
+
+    # Unchunked reference: t0g=0, intervals 0..3 -> left-continuity reads
+    # interval 1 (slope 2).
+    ct3, iota = table([0, 1, 2, 3])
+    dx, _, _ = _lane_dx(ct3, iota, tval, 0.0, 1.0, 4, C, linear=True)
+    assert float(dx[0, 0]) == 2.0
+
+    # Chunk starting at knot 2 WITHOUT the lead interval: clips to the
+    # right slope (3) — the bug the lead slab exists to fix.
+    ct3, iota = table([2, 3])
+    dx, _, _ = _lane_dx(ct3, iota, tval, 2.0, 1.0, 2, C, linear=True)
+    assert float(dx[0, 0]) == 3.0
+
+    # Same chunk WITH the carried lead interval: left slope (2), and times
+    # strictly inside the chunk still read their own interval.
+    ct3, iota = table([1, 2, 3])
+    dx, _, _ = _lane_dx(ct3, iota, tval, 2.0, 1.0, 3, C, linear=True,
+                        lead=True)
+    assert float(dx[0, 0]) == 2.0
+    t_mid = jnp.full((1, tile), 2.5, jnp.float32)
+    dx, _, _ = _lane_dx(ct3, iota, t_mid, 2.0, 1.0, 3, C, linear=True,
+                        lead=True)
+    assert float(dx[0, 0]) == 3.0

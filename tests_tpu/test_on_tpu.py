@@ -458,6 +458,12 @@ def test_fused_per_sample_dopri5_on_tpu():
     # stiff lanes NaN-poison LOUDLY across chunk boundaries (the budget is
     # cumulative, not per-chunk), easy lanes stay correct.
     budget = int((int(att.min()) + int(att.max())) // 2)
+    # The budgeted solve must still exercise the FUSED kernel (an explicit
+    # max_steps above the kernel's store cap declines to the XLA path,
+    # which would silently stop testing the cross-chunk budget carry).
+    assert try_fused_dopri5_per_sample(
+        CubicSpline(co), field, z0, np.asarray(t, np.float64),
+        rtol=1e-4, atol=1e-6, max_steps=budget) is not None, budget
     out_tiny = np.asarray(solve(True, max_steps=budget))
     lane_nan = ~np.isfinite(out_tiny).all(axis=(-2, -1))
     assert lane_nan.any(), f"no lane exhausted a {budget}-step budget"

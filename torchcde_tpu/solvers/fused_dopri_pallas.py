@@ -110,7 +110,7 @@ _ORDER = DOPRI5.order
 _NSTAGES = len(_CSOL)  # 7 (FSAL: stage 7 = f(t+dt, z1))
 
 
-def _slab_at(ct_ref, tval, t0g, w, n, left=False):
+def _slab_at(ct_ref, tval, t0g, w, n, left=False, lead=False):
     """Coefficient slab and frac for a (traced scalar) time on the uniform
     grid: interval floor((t - t0g)/w) clamped to [0, n-1].
 
@@ -120,15 +120,23 @@ def _slab_at(ct_ref, tval, t0g, w, n, left=False):
     (interpolation_linear.py:203-210, searchsorted side='left' minus one):
     a stage landing exactly on an interior knot reads the *previous*
     interval's slope.  Cubic derivatives are knot-continuous, so the
-    (cheaper) floor rule is used there."""
+    (cheaper) floor rule is used there.
+
+    ``lead=True`` (linear chunk streaming): the resident table carries ONE
+    extra interval to the LEFT of the chunk's start knot t0g (slab 0 is the
+    PREVIOUS chunk's last interval), so a stage landing exactly on the
+    chunk-boundary knot (pos == 0, which every clamped step produces) still
+    reads the left slope instead of clipping to the right one — without it,
+    chunked and unchunked solves of the same linear control diverge at
+    every boundary."""
     pos = (tval - t0g) / w
     if left:
-        j = jnp.ceil(pos).astype(jnp.int32) - 1
+        j = jnp.ceil(pos).astype(jnp.int32) - (0 if lead else 1)
     else:
         j = jnp.floor(pos).astype(jnp.int32)
     j = jnp.clip(j, 0, n - 1)
     slab = ct_ref[pl.ds(j * _SLAB, _SLAB), :]
-    fr = tval - (t0g + j.astype(tval.dtype) * w)
+    fr = tval - (t0g + (j - (1 if lead else 0)).astype(tval.dtype) * w)
     return slab, fr, j
 
 
@@ -155,7 +163,7 @@ def _dopri_fwd_kernel(ct_ref, z0_ref, w1_ref, b1_ref, w2_ref, b2_ref, dt0_ref,
                       dtst_ref, cnt_ref, z_scr, k1_scr, dma_sem,
                       *, out_ts, t_start, t_end, t0g, w, n, rtol, atol,
                       max_steps, cap, C, H, B, safety, ifactor, dfactor,
-                      linear=False):
+                      linear=False, lead=False):
     CHp = w2_ref.shape[0]
     Hp = z0_ref.shape[0]
     tile = z0_ref.shape[1]
@@ -172,7 +180,8 @@ def _dopri_fwd_kernel(ct_ref, z0_ref, w1_ref, b1_ref, w2_ref, b2_ref, dt0_ref,
     norm_count = float(B * H)
 
     def f_eval(y, tval):
-        slab, fr, _j = _slab_at(ct_ref, tval, t0g, w, n, left=linear)
+        slab, fr, _j = _slab_at(ct_ref, tval, t0g, w, n, left=linear,
+                                lead=lead)
         k, _h1, _g, _dx = _stage_forward(y, fr, slab, w1t, b1, w2t, b2,
                                          rep, sel, C, H, linear=linear)
         return k
@@ -287,7 +296,7 @@ def _dopri_bwd_kernel(ct_ref, zst_ref, tst_ref, dtst_ref, cnt_ref, gz_ref,
                       gzfin_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                       dct_ref, dz0_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
                       lam_scr, emit_scr, zvm_scr, dma_sem,
-                      *, out_ts, t0g, w, n, C, H, linear=False):
+                      *, out_ts, t0g, w, n, C, H, linear=False, lead=False):
     CHp = w2_ref.shape[0]
     Hp = dz0_ref.shape[0]
     tile = dz0_ref.shape[1]
@@ -311,7 +320,8 @@ def _dopri_bwd_kernel(ct_ref, zst_ref, tst_ref, dtst_ref, cnt_ref, gz_ref,
     cnt = cnt_ref[0, 0]
 
     def stage_eval(y, tval):
-        slab, fr, j = _slab_at(ct_ref, tval, t0g, w, n, left=linear)
+        slab, fr, j = _slab_at(ct_ref, tval, t0g, w, n, left=linear,
+                               lead=lead)
         k, _h1, _g, _dx = _stage_forward(y, fr, slab, w1t, b1, w2t, b2,
                                          rep, sel, C, H, linear=linear)
         # Save only the THIN stage inputs (y: Hp rows, plus lane scalars);
@@ -433,7 +443,7 @@ def _dopri_bwd_kernel(ct_ref, zst_ref, tst_ref, dtst_ref, cnt_ref, gz_ref,
 @functools.lru_cache(maxsize=64)
 def _make_fused_dopri(n, tile, out_ts, t_start, t_end, t0g, w, rtol, atol,
                       max_steps, cap, C, H, W, CHp, B, safety, ifactor,
-                      dfactor, interpret, linear=False):
+                      dfactor, interpret, linear=False, lead=False):
     """One chunk solve [t_start, t_end] over an n-interval coefficient table.
 
     Returns (zout, zfin, dtfin): dense output at ``out_ts`` (rows of z0 for
@@ -454,7 +464,7 @@ def _make_fused_dopri(n, tile, out_ts, t_start, t_end, t0g, w, rtol, atol,
             _dopri_fwd_kernel, out_ts=out_ts, t_start=t_start, t_end=t_end,
             t0g=t0g, w=w, n=n, rtol=rtol, atol=atol,
             max_steps=max_steps, cap=cap, C=C, H=H, B=B, safety=safety,
-            ifactor=ifactor, dfactor=dfactor, linear=linear),
+            ifactor=ifactor, dfactor=dfactor, linear=linear, lead=lead),
         out_shape=(
             jax.ShapeDtypeStruct((n_out_rows * Hp, tile), jnp.float32),  # zout
             jax.ShapeDtypeStruct((Hp, tile), jnp.float32),          # z final
@@ -476,7 +486,7 @@ def _make_fused_dopri(n, tile, out_ts, t_start, t_end, t0g, w, rtol, atol,
 
     bwd_call = pl.pallas_call(
         functools.partial(_dopri_bwd_kernel, out_ts=out_ts, t0g=t0g, w=w, n=n,
-                          C=C, H=H, linear=linear),
+                          C=C, H=H, linear=linear, lead=lead),
         out_shape=(
             jax.ShapeDtypeStruct((n * _SLAB, tile), jnp.float32),  # dct
             jax.ShapeDtypeStruct((Hp, tile), jnp.float32),         # dz0
@@ -644,7 +654,7 @@ def try_fused_dopri5(X, func, z0, ts, cfg):
         # row, and exactly 2 * _SLAB * 4 bytes/lane per chunk interval
         # (ct + dct blocks, single-buffered).  Larger W/CHp scale the
         # per-lane term through the transient h1/dpre rows.
-        max_chunk_n = max(c[1] - c[0] for c in chunks)
+        max_chunk_n = max(c[1] - c[0] for c in chunks) + int(bool(linear))
         max_chunk_out = max(max(len(c[4]), 1) for c in chunks)
         max_cap = max(chunk_cap(c[1] - c[0]) for c in chunks)
         per_lane_fixed = 4 * (
@@ -737,13 +747,19 @@ def try_fused_dopri5(X, func, z0, ts, cfg):
         for (j0, j1, t_start, t_end, out_ts, out_idx) in chunks:
             n_c = j1 - j0
             cap_c = chunk_cap(n_c)
+            # Linear controls: chunks after the first carry ONE extra
+            # interval to the left so stages landing exactly on the chunk
+            # boundary keep the left-continuous slope (see _slab_at lead).
+            lead = bool(linear and j0 > 0)
             ct_chunk = jax.lax.dynamic_slice_in_dim(
-                p.ct2, j0 * _SLAB, n_c * _SLAB, axis=0)
+                p.ct2, (j0 - int(lead)) * _SLAB,
+                (n_c + int(lead)) * _SLAB, axis=0)
             solve = _make_fused_dopri(
-                n_c, p.Bp, out_ts, t_start, t_end, float(grid[j0]), w,
+                n_c + int(lead), p.Bp, out_ts, t_start, t_end,
+                float(grid[j0]), w,
                 float(cfg.rtol), float(cfg.atol), int(cap_c), int(cap_c),
                 C, H, p.W, p.CHp, p.B, float(cfg.safety), float(cfg.ifactor),
-                float(cfg.dfactor), interpret, linear)
+                float(cfg.dfactor), interpret, linear, lead)
             zout, z_carry, dt_fin = solve(
                 ct_chunk, z_carry, p.w1t, p.b1c, p.w2t, p.b2c, dt_carry)
             # The carried proposal is mesh data like dt0 (stop_gradient'd

@@ -91,6 +91,7 @@ from .fused_dopri_pallas import (
 
 MAX_PS_TILE = 512       # lanes per kernel call (each lane is independent)
 MAX_PS_INTERVALS = 128  # coefficient-table chunk held in VMEM (upper bound)
+MAX_PS_OUT_TIMES = 64   # unrolled emit/cotangent rows per iteration
 _PS_STORE_CAP = 2048    # per-iteration trajectory rows (HBM)
 _AUX_ROWS = 8           # aux store rows per iteration: [t; dt; accept; pad]
 _PS_VMEM_BUDGET = 100 * 1024 * 1024
@@ -108,7 +109,7 @@ def _mlp_eval(dx, y, w1t, b1, w2t, b2, rep, sel, C, H):
     return k, h1, g
 
 
-def _lane_dx(ct3, iota_n, tval, t0g, w, n, C, linear=False):
+def _lane_dx(ct3, iota_n, tval, t0g, w, n, C, linear=False, lead=False):
     """Per-lane spline derivative rows at per-lane times ``tval`` (1, tile).
 
     One-hot over intervals: evaluates the derivative polynomial of every
@@ -121,10 +122,14 @@ def _lane_dx(ct3, iota_n, tval, t0g, w, n, C, linear=False):
     reference's bucketize convention (interpolation_linear.py:203-210)."""
     pos = (tval - t0g) / w
     if linear:
-        jl = jnp.clip(jnp.ceil(pos).astype(jnp.int32) - 1, 0, n - 1)
+        # lead=True (chunk streaming): slab 0 is the PREVIOUS chunk's last
+        # interval, so a stage landing exactly on the chunk-boundary knot
+        # (pos == 0) reads the left slope — see fused_dopri_pallas._slab_at.
+        jl = jnp.clip(jnp.ceil(pos).astype(jnp.int32) - (0 if lead else 1),
+                      0, n - 1)
     else:
         jl = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n - 1)
-    fr = tval - (t0g + jl.astype(tval.dtype) * w)
+    fr = tval - (t0g + (jl - (1 if lead else 0)).astype(tval.dtype) * w)
     if linear:
         dxn = ct3[:, 0:C]                                     # (n, C, tile)
     else:
@@ -143,8 +148,8 @@ def _psd_fwd_kernel(ct_ref, z0_ref, w1_ref, b1_ref, w2_ref, b2_ref, ctl_ref,
                     zst_ref, aux_ref, cnt_ref,
                     z_scr, k1_scr, aux_scr, ctl_scr, dma_sem, aux_sem,
                     *, n_out, t_chunk_end, t0g, w, n, rtol, atol,
-                    max_steps, cap, C, H, B, safety, ifactor, dfactor,
-                    linear):
+                    max_steps, cap, C, H, safety, ifactor, dfactor,
+                    linear, lead):
     Hp = z0_ref.shape[0]
     tile = z0_ref.shape[1]
     CHp = w2_ref.shape[0]
@@ -160,7 +165,8 @@ def _psd_fwd_kernel(ct_ref, z0_ref, w1_ref, b1_ref, w2_ref, b2_ref, ctl_ref,
     rowmask = (sub < H).astype(jnp.float32)
 
     def f_eval(y, tval):
-        dx, _jl, _fr = _lane_dx(ct3, iota_n, tval, t0g, w, n, C, linear)
+        dx, _jl, _fr = _lane_dx(ct3, iota_n, tval, t0g, w, n, C, linear,
+                                lead)
         k, _h1, _g = _mlp_eval(dx, y, w1t, b1, w2t, b2, rep, sel, C, H)
         return k
 
@@ -188,7 +194,12 @@ def _psd_fwd_kernel(ct_ref, z0_ref, w1_ref, b1_ref, w2_ref, b2_ref, ctl_ref,
     # inactive immediately and poisons below.
     ctl_scr[2:3, :] = ctl_ref[2:3, :]          # attempted (cumulative)
     ctl_scr[3:4, :] = jnp.zeros((1, tile), jnp.float32)  # accepted (chunk)
-    ctl_scr[4:_AUX_ROWS, :] = jnp.zeros((_AUX_ROWS - 4, tile), jnp.float32)
+    # Poison flag carries across chunks (row 3 of the ctl carry): a lane
+    # that exhausted its budget in an earlier chunk is INACTIVE here — it
+    # must not spin every later chunk's while loop to its physical cap
+    # doing NaN work.
+    ctl_scr[4:5, :] = ctl_ref[3:4, :]          # poisoned (carried)
+    ctl_scr[5:_AUX_ROWS, :] = jnp.zeros((_AUX_ROWS - 5, tile), jnp.float32)
 
     def cond(carry):
         i, go = carry
@@ -201,7 +212,8 @@ def _psd_fwd_kernel(ct_ref, z0_ref, w1_ref, b1_ref, w2_ref, b2_ref, ctl_ref,
         dt_l = ctl[1:2, :]
         att = ctl[2:3, :]
         acc = ctl[3:4, :]
-        active = (t_l < t1_l) & (att < max_steps)
+        pois = ctl[4:5, :]
+        active = (t_l < t1_l) & (att < max_steps) & (pois < 0.5)
         z = z_scr[:, :]
         k1 = k1_scr[:, :]
         dt = jnp.maximum(dt_l, 1e-14)
@@ -285,10 +297,10 @@ def _psd_fwd_kernel(ct_ref, z0_ref, w1_ref, b1_ref, w2_ref, b2_ref, ctl_ref,
         ctl_scr[1:2, :] = dt_next
         ctl_scr[2:3, :] = att_new
         ctl_scr[3:4, :] = acc_new
-        still = (t_new < t1_l) & (att_new < max_steps)
+        still = (t_new < t1_l) & (att_new < max_steps) & (pois < 0.5)
         return (i + 1, jnp.any(still))
 
-    go0 = jnp.any((t_in < t1_l))
+    go0 = jnp.any((t_in < t1_l) & (ctl_ref[3:4, :] < 0.5))
     i_fin, _go = jax.lax.while_loop(
         cond, body, (jnp.zeros((), jnp.int32), go0))
     cnt_ref[0, 0] = i_fin
@@ -302,7 +314,10 @@ def _psd_fwd_kernel(ct_ref, z0_ref, w1_ref, b1_ref, w2_ref, b2_ref, ctl_ref,
     # ran out of budget — poison its carried state and the output rows this
     # or any LATER chunk would emit (ts_k > chunk-entry t); rows emitted by
     # earlier chunks survive, like the whole-batch chunk composition.
-    bad = ctl_scr[0:1, :] < t1_l
+    # Already-poisoned lanes stay bad so every later chunk keeps poisoning
+    # its own output rows without stepping.
+    bad = (ctl_scr[0:1, :] < t1_l) | (ctl_scr[4:5, :] > 0.5)
+    ctlout_ref[3:4, :] = bad.astype(jnp.float32)
     nanv = jnp.float32(jnp.nan)
     zfin_ref[:, :] = jnp.where(bad, nanv, z_scr[:, :])
     for k in range(max(n_out, 1)):
@@ -317,7 +332,7 @@ def _psd_bwd_kernel(ct_ref, zst_ref, aux_ref, cnt_ref, gz_ref, gzfin_ref,
                     dct_ref, dz0_ref, dzoutin_ref,
                     dw1_ref, db1_ref, dw2_ref, db2_ref,
                     lam_scr, emit_scr, zvm_scr, aux_vm, dma_sem, aux_sem,
-                    *, n_out, t0g, w, n, C, H, linear):
+                    *, n_out, t0g, w, n, C, H, linear, lead):
     Hp = dz0_ref.shape[0]
     tile = dz0_ref.shape[1]
     CHp = w2_ref.shape[0]
@@ -339,7 +354,7 @@ def _psd_bwd_kernel(ct_ref, zst_ref, aux_ref, cnt_ref, gz_ref, gzfin_ref,
     cnt = cnt_ref[0, 0]
 
     def stage_eval(y, tval):
-        dx, jl, fr = _lane_dx(ct3, iota_n, tval, t0g, w, n, C, linear)
+        dx, jl, fr = _lane_dx(ct3, iota_n, tval, t0g, w, n, C, linear, lead)
         k, h1, g = _mlp_eval(dx, y, w1t, b1, w2t, b2, rep, sel, C, H)
         return k, (y, fr, jl, h1, g, dx)
 
@@ -457,8 +472,8 @@ def _psd_bwd_kernel(ct_ref, zst_ref, aux_ref, cnt_ref, gz_ref, gzfin_ref,
 
 @functools.lru_cache(maxsize=64)
 def _make_fused_dopri_ps(n, tile, n_out, t_chunk_end, t0g, w, rtol, atol,
-                         max_steps, cap, C, H, W, CHp, B, safety, ifactor,
-                         dfactor, interpret, linear=False):
+                         max_steps, cap, C, H, W, CHp, safety, ifactor,
+                         dfactor, interpret, linear=False, lead=False):
     """Per-sample solve over one coefficient chunk.
 
     Returns ``(zout, zfin, ctlout, nacc, natt)``: the carried output rows,
@@ -477,12 +492,12 @@ def _make_fused_dopri_ps(n, tile, n_out, t_chunk_end, t0g, w, rtol, atol,
         functools.partial(
             _psd_fwd_kernel, n_out=n_out, t_chunk_end=t_chunk_end,
             t0g=t0g, w=w, n=n, rtol=rtol, atol=atol, max_steps=max_steps,
-            cap=cap, C=C, H=H, B=B, safety=safety, ifactor=ifactor,
-            dfactor=dfactor, linear=linear),
+            cap=cap, C=C, H=H, safety=safety, ifactor=ifactor,
+            dfactor=dfactor, linear=linear, lead=lead),
         out_shape=(
             jax.ShapeDtypeStruct((n_out_rows * Hp, tile), jnp.float32),  # zout
             jax.ShapeDtypeStruct((Hp, tile), jnp.float32),   # z carry
-            jax.ShapeDtypeStruct((3, tile), jnp.float32),    # (t, dt, att)
+            jax.ShapeDtypeStruct((4, tile), jnp.float32),    # (t, dt, att, poison)
             jax.ShapeDtypeStruct((1, tile), jnp.float32),    # accepted/lane
             jax.ShapeDtypeStruct((1, tile), jnp.float32),    # attempted/lane
             jax.ShapeDtypeStruct((cap * Hp, tile), jnp.float32),       # z store
@@ -503,7 +518,7 @@ def _make_fused_dopri_ps(n, tile, n_out, t_chunk_end, t0g, w, rtol, atol,
 
     bwd_call = pl.pallas_call(
         functools.partial(_psd_bwd_kernel, n_out=n_out, t0g=t0g, w=w, n=n,
-                          C=C, H=H, linear=linear),
+                          C=C, H=H, linear=linear, lead=lead),
         out_shape=(
             jax.ShapeDtypeStruct((n * _SLAB, tile), jnp.float32),  # dct
             jax.ShapeDtypeStruct((Hp, tile), jnp.float32),         # dz0
@@ -542,7 +557,7 @@ def _make_fused_dopri_ps(n, tile, n_out, t_chunk_end, t0g, w, rtol, atol,
         ct2, z0t, w1t, b1, w2t, b2, ts_rows, zs, ax, c = res
         dct, dz0, dzout_in, dw1, db1, dw2, db2 = bwd_call(
             ct2, zs, ax, c, gz, gzfin, w1t, b1, w2t, b2, ts_rows)
-        zero_ctl = jnp.zeros((3, z0t.shape[1]), jnp.float32)
+        zero_ctl = jnp.zeros((4, z0t.shape[1]), jnp.float32)
         zero_row = jnp.zeros((1, z0t.shape[1]), jnp.float32)
         zero_ts = jnp.zeros_like(ts_rows)
         return (dct, dz0, dw1, db1, dw2, db2, zero_ctl, zero_ts, zero_row,
@@ -695,6 +710,14 @@ def try_fused_dopri5_per_sample(X, func, z0, ts, *, rtol, atol, max_steps,
     if max_steps is not None and max_steps > _PS_STORE_CAP:
         return None
 
+    # The dense-output emit (forward) and cotangent (backward) loops are
+    # Python-unrolled over output rows and run EVERY solver iteration in
+    # EVERY chunk: beyond this the Mosaic program degenerates (compile time
+    # and per-step work both scale with n_out) — the XLA path handles dense
+    # readouts better than a pathological kernel would.
+    if n_out > MAX_PS_OUT_TIMES:
+        return None
+
     Hp = p_full.Hp
     tile_cap = min(MAX_PS_TILE, _round_up(max(p_full.B, 1), _LANES))
     n_int = min(MAX_PS_INTERVALS, n)
@@ -707,6 +730,7 @@ def try_fused_dopri5_per_sample(X, func, z0, ts, *, rtol, atol, max_steps,
             if not trial:
                 return None
             max_nc = max(c[1] - c[0] for c in trial)
+            max_nc = max_nc + int(bool(linear))  # +1 lead slab per chunk
             if _ps_vmem_bytes(max_nc, n_out, tile, Hp, p_full.W, p_full.CHp,
                               p_full.C, chunk_cap(max_nc)) <= _PS_VMEM_BUDGET:
                 chunks = trial
@@ -802,9 +826,8 @@ def try_fused_dopri5_per_sample(X, func, z0, ts, *, rtol, atol, max_steps,
         # the XLA path (per-chunk capacity is still bounded by cap_c; the
         # decline rule above guarantees cap_c can honor the budget).
         ctl = jnp.concatenate(
-            [t_start_l, dt0_g, jnp.zeros_like(t_start_l)], axis=0)
-        nacc_total = jnp.zeros((1, p.Bp), jnp.float32)
-        natt_total = jnp.zeros((1, p.Bp), jnp.float32)
+            [t_start_l, dt0_g, jnp.zeros_like(t_start_l),
+             jnp.zeros_like(t_start_l)], axis=0)
         for (j0, j1, c_end) in chunks:
             n_c = j1 - j0
             cap_c = chunk_cap(n_c)
@@ -813,18 +836,21 @@ def try_fused_dopri5_per_sample(X, func, z0, ts, *, rtol, atol, max_steps,
             # capacity (the i < cap loop bound) is the loud default budget,
             # as before.
             budget = int(max_steps) if max_steps is not None else (1 << 30)
+            # Linear controls: chunks after the first carry ONE extra
+            # interval to the left so stages landing exactly on the chunk
+            # boundary keep the left-continuous slope (_lane_dx lead).
+            lead = bool(linear and j0 > 0)
             ct_chunk = jax.lax.dynamic_slice_in_dim(
-                p.ct2, j0 * _SLAB, n_c * _SLAB, axis=0)
+                p.ct2, (j0 - int(lead)) * _SLAB,
+                (n_c + int(lead)) * _SLAB, axis=0)
             solve = _make_fused_dopri_ps(
-                n_c, p.Bp, n_out, float(c_end), float(grid[j0]), w,
-                cfgd["rtol"], cfgd["atol"], budget, int(cap_c),
-                C, H, p.W, p.CHp, p.B, 0.9, 10.0, 0.2, interpret, linear)
-            zout, z_carry, ctl, na, nt = solve(
+                n_c + int(lead), p.Bp, n_out, float(c_end), float(grid[j0]),
+                w, cfgd["rtol"], cfgd["atol"], budget, int(cap_c),
+                C, H, p.W, p.CHp, 0.9, 10.0, 0.2, interpret, linear, lead)
+            zout, z_carry, ctl, _na, _nt = solve(
                 ct_chunk, z_carry, p.w1t, p.b1c, p.w2t, p.b2c, ctl,
                 ts_rows, tend, zout)
             ctl = jax.lax.stop_gradient(ctl)
-            nacc_total = nacc_total + na
-            natt_total = nt  # cumulative inside the kernel
 
         z3 = zout.reshape(n_out, p.Hp, p.Bp)[:, :H, :p.B]
         group_outs.append(z3)
