@@ -470,3 +470,77 @@ def test_fused_per_sample_dopri5_on_tpu():
     assert not lane_nan.all(), f"every lane exhausted a {budget}-step budget"
     ok = ~lane_nan
     assert (lane_err(out_tiny, out_ref)[ok] <= bound[ok]).all()
+
+
+def test_fused_linear_control_dopri5_on_tpu():
+    """Compiled fused dopri5 with LinearInterpolation controls on hardware —
+    the Neural RDE / log-ODE TRAINING path (reference
+    example/logsignature_example.py:26 trains on linear interpolation of
+    logsig windows).  The CPU suite pins this kernel in interpret mode only
+    (tests/test_fused_dopri.py); this is the Mosaic-compiled check, at the
+    log-ODE depth-3 channel count (14) where slopes pack as slope slabs."""
+    import torchcde_tpu as tc
+    from torchcde_tpu.interpolation.linear import LinearInterpolation
+    from torchcde_tpu.solvers import fused_dopri_pallas as fdp
+    from torchcde_tpu.solvers import fused_pallas
+    from torchcde_tpu.solvers.integrate import SolverConfig
+    from torchcde_tpu.solvers.terms import MLPVectorField
+
+    r = np.random.default_rng(12)
+    B, H, W = 256, 8, 32
+    # The real Neural RDE data distribution: depth-3 logsig windows of a
+    # smooth series (C = logsignature_channels(3, 3) = 14).  Raw white-noise
+    # slopes would be a controller-robustness stress, not a kernel test:
+    # every adaptive driver (XLA and fused alike) reject-storms across such
+    # knot discontinuities into loud budget poisoning.
+    ts = np.linspace(0.0, 6 * np.pi, 3000, dtype=np.float32)
+    phase = r.uniform(0, 2 * np.pi, size=(B, 1)).astype(np.float32)
+    base = np.stack([np.broadcast_to(ts, (B, 3000)),
+                     np.cos(ts + phase), np.sin(2 * ts + phase)], axis=-1)
+    series = base + 0.02 * r.standard_normal(base.shape).astype(np.float32)
+    logsig = tc.logsig_windows(jnp.asarray(series, jnp.float32), 3, 100.0)
+    C = int(logsig.shape[-1])
+    assert C == 14
+    L = int(logsig.shape[-2])
+    x = logsig
+    co = tc.linear_interpolation_coeffs(x)
+    w1 = jnp.asarray(r.standard_normal((H, W)) * 0.05, jnp.float32)
+    b1 = jnp.asarray(r.standard_normal((W,)) * 0.05, jnp.float32)
+    w2 = jnp.asarray(r.standard_normal((W, H * C)) * 0.05, jnp.float32)
+    b2 = jnp.asarray(r.standard_normal((H * C,)) * 0.05, jnp.float32)
+    z0 = jnp.asarray(r.standard_normal((B, H)).astype(np.float32))
+    t = jnp.asarray([0.0, float(L - 1) / 2.0, float(L - 1)], jnp.float32)
+
+    # The linear control must actually route to the fused kernel.
+    cfg = SolverConfig(method="dopri5", rtol=1e-5, atol=1e-7)
+    routed = fdp.try_fused_dopri5(
+        LinearInterpolation(co), MLPVectorField(w1, b1, w2, b2, H, C), z0,
+        np.asarray(t, np.float64), cfg)
+    assert routed is not None, "linear control must route to the fused kernel"
+
+    def loss(args, use_fused):
+        x_, z0_, w1_, b1_, w2_, b2_ = args
+        co_ = tc.linear_interpolation_coeffs(x_)
+        fused_pallas.force_fused_pallas(None if use_fused else False)
+        try:
+            X = LinearInterpolation(co_)
+            field = MLPVectorField(w1_, b1_, w2_, b2_, H, C)
+            out = tc.cdeint(X=X, func=field, z0=z0_, t=t, adjoint=False,
+                            method="dopri5", rtol=1e-5, atol=1e-7)
+        finally:
+            fused_pallas.force_fused_pallas(None)
+        return jnp.sum(jnp.sin(out)), out
+
+    args = (x, z0, w1, b1, w2, b2)
+    (_, out_ref), g_ref = jax.value_and_grad(loss, has_aux=True)(args, False)
+    (_, out_fp), g_fp = jax.value_and_grad(loss, has_aux=True)(args, True)
+    np.testing.assert_allclose(np.asarray(out_fp), np.asarray(out_ref),
+                               rtol=1e-2, atol=1e-2)
+    # Piecewise-constant dX/dt makes the gradient field discontinuous across
+    # knot crossings, so cross-mesh gradients agree directionally (exactness
+    # vs a replay of the realised mesh is pinned on CPU —
+    # tests/test_fused_dopri.py::test_linear_gradients_match_...).
+    va = jnp.concatenate([v.ravel() for v in jax.tree_util.tree_leaves(g_ref)])
+    vb = jnp.concatenate([v.ravel() for v in jax.tree_util.tree_leaves(g_fp)])
+    cos = jnp.vdot(va, vb) / (jnp.linalg.norm(va) * jnp.linalg.norm(vb))
+    assert cos > 0.99, cos
