@@ -192,6 +192,43 @@ def _dopri_probe_cost(params, cfg, coeffs, reps):
              "flops_source": "analytic(nfe-probe)"})
 
 
+def _adaptive_latency_floor(res, t_big, step, params, opt_state, coeffs, y,
+                            cfg):
+    """Quantified floor for the ``latency``-bound adaptive train entries
+    (extends the round-4 floor methodology beyond cubic_fit/rev_heun): rerun
+    the IDENTICAL jitted train step at batch 8.  The throughput terms (MXU
+    FLOPs and HBM bytes) scale with batch; the dependency chain — NFE
+    sequential stage evaluations threaded through the step-size controller
+    inside one fused kernel launch (batch 8 still runs as one padded
+    128-lane tile, so it is the same kernel and the same chain) — does not.
+
+    The batch-8 subset's controller realises its own (usually shorter) NFE
+    chain, so the floor is the batch-8 time taken AS IS when that chain is
+    no longer than the entry's (a strictly shorter serial chain on the
+    identical kernel cannot take longer than the floor it bounds), and
+    scaled DOWN by the chain-length ratio when it is longer.  It is never
+    scaled up: NFE-proportional extrapolation over-estimates (reject steps
+    and backward replays are not uniform in cost), which round-5 measurement
+    showed producing an impossible measured/floor < 1."""
+    if res.get("bound") != "latency":
+        return res
+    co8, y8 = coeffs[:8], y[:8]
+    t8 = _scanned_train_time(step, params, opt_state, co8, y8)
+    _, _, extra8 = _dopri_probe_cost(params, cfg, co8, 1)
+    nfe8 = max(int(extra8["nfe"]), 1)
+    floor = t8 * min(1.0, float(res["nfe"]) / nfe8)
+    res["latency_floor_ms"] = round(1e3 * floor, 3)
+    res["latency_floor_batch8_ms"] = round(1e3 * t8, 3)
+    res["latency_floor_nfe_batch8"] = nfe8
+    res["measured_over_latency_floor"] = round(t_big / floor, 2)
+    res["note"] = (
+        "latency-floor bound: the identical fused train step at batch 8 "
+        "(one padded 128-lane tile — same kernel, ~no throughput terms) "
+        f"realising a {nfe8}-NFE chain vs this entry's {res['nfe']}; "
+        "see _adaptive_latency_floor for the no-upscaling rule")
+    return res
+
+
 def _spiral(batch, length, seed=0):
     rng = np.random.default_rng(seed)
     t = np.linspace(0.0, 4 * math.pi, length)
@@ -226,11 +263,13 @@ def bench_spiral():
     global _LAST_COST
     cost, reps, extra = _dopri_probe_cost(params, cfg, coeffs, _LAST_COST[1])
     _LAST_COST = (cost, reps)
-    return _annotate(
+    res = _annotate(
         {"metric": "spiral train step (hermite+dopri5 adjoint, batch 256, len 100)",
          "value": round(1e3 * t, 3), "unit": "ms", **extra}, t,
         attainable_tflops=_mlp_attainable_tflops(
             cfg.hidden_channels, cfg.input_channels, cfg.width))
+    return _adaptive_latency_floor(res, t, step, params, opt_state, coeffs,
+                                   jnp.asarray(y), cfg)
 
 
 def bench_spiral_dopri_adjoint():
@@ -447,13 +486,15 @@ def bench_log_ode_train():
     global _LAST_COST
     cost, reps, extra = _dopri_probe_cost(params, cfg, coeffs, _LAST_COST[1])
     _LAST_COST = (cost, reps)
-    return _annotate(
+    res = _annotate(
         {"metric": (f"log-ODE Neural RDE train step (depth-3 logsig of "
                     f"{length}-len series, window 100, linear+dopri5 "
                     f"adjoint, batch {batch})"),
          "value": round(1e3 * t, 3), "unit": "ms", **extra}, t,
         attainable_tflops=_mlp_attainable_tflops(
             cfg.hidden_channels, cfg.input_channels, cfg.width))
+    return _adaptive_latency_floor(res, t, step, params, opt_state, coeffs,
+                                   jnp.asarray(y), cfg)
 
 
 def bench_rev_heun():
@@ -598,9 +639,13 @@ def bench_seq_masked():
            "value": round(1e3 * t, 3), "unit": "ms",
            "gb_per_s": round(gbytes / t, 2)}
     if model == 1:
-        res["note"] = ("collectives untimed: 1 real chip, so the ppermute "
-                       "halo-exchange path is CPU-mesh-tested (tests/"
-                       "test_parallel.py) but not timed here")
+        res["note"] = ("1-shard mesh: natural_cubic_coeffs_seq_sharded "
+                       "degrades to the single-device streaming kernel "
+                       "(SPIKE's 3x local solves have nothing to amortise "
+                       "against — round 5), so this entry times that kernel "
+                       "at this shape; the ppermute/SPIKE halo path is "
+                       "CPU-mesh-tested (tests/test_parallel.py) but "
+                       "untimed: 1 real chip")
     return _annotate(res, t)
 
 
@@ -684,6 +729,28 @@ def bench_per_sample():
                             return_stats=True)
     nfe_ps = np.asarray(stats_ps["nfe"])
     nfe_bn = int(np.asarray(stats_bn["nfe"]))
+
+    # Latency floor (round 5, completing the round-4 floor methodology for
+    # the last unquantified `latency` entry): lanes step independently
+    # inside the per-lane kernel, so wall time is bounded below by the
+    # HARDEST lane's serial attempt chain.  Measure exactly that — the
+    # argmax-NFE lane replicated to a tiny batch through the identical
+    # kernel (throughput terms stripped, same chain) — and take it as is.
+    global _LAST_COST
+    cost_full = _LAST_COST
+    hard = int(np.argmax(nfe_ps))
+    co_h = jnp.repeat(coeffs[hard:hard + 1], 8, axis=0)
+    z0_h = jnp.repeat(z0j[hard:hard + 1], 8, axis=0)
+    t_hard = _chained_time(op, z0_h, reps=4, extras=(co_h,))
+    _LAST_COST = cost_full  # annotate the full-batch timing, not the probe
+    floor_fields = {
+        "latency_floor_ms": round(1e3 * t_hard, 3),
+        "latency_floor_note": (
+            "the hardest lane (argmax per-sample NFE) replicated to one "
+            "tiny batch through the identical per-lane kernel: its serial "
+            "attempt chain alone, throughput terms stripped"),
+        "measured_over_latency_floor": round(t / t_hard, 2),
+    }
     return _annotate(
         {"metric": (f"per-sample dopri5 solve (batch {batch}, length {length},"
                     f" mixed stiffness)"),
@@ -701,7 +768,8 @@ def bench_per_sample():
              "DILUTES stiff lanes' error (their local error is under-"
              "controlled by ~16x at batch 256) — the per-sample controller "
              "resolves every lane at the requested tolerance (torchode, "
-             "arxiv 2210.12375)")}, t)
+             "arxiv 2210.12375)"),
+         **floor_fields}, t)
 
 
 BENCHES = {

@@ -280,6 +280,29 @@ def test_seq_sharded_masked_cubic_fit_matches_single_device():
                                rtol=1e-8, atol=1e-8)
 
 
+def test_seq_sharded_masked_cubic_fit_one_shard_shortcut():
+    # Round 5: a 1-shard mesh provides no parallelism to amortise SPIKE's
+    # 3x local solves, so the sharded entry point degrades to the
+    # single-device masked fit — bit-identical, eager and under jit.
+    import jax
+    from jax.sharding import Mesh
+    from torchcde_tpu.parallel.seq_masked import natural_cubic_coeffs_seq_sharded
+
+    x = rng.standard_normal((4, 48, 2))
+    x[rng.random(x.shape) < 0.25] = np.nan
+    xj = jnp.asarray(x)
+    ref = tc.natural_cubic_coeffs(xj)
+
+    mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1), ("data", "model"))
+    got = natural_cubic_coeffs_seq_sharded(xj, None, mesh, axis="model")
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    got_j = jax.jit(
+        lambda a: natural_cubic_coeffs_seq_sharded(a, None, mesh, axis="model")
+    )(xj)
+    np.testing.assert_allclose(np.asarray(got_j), np.asarray(ref),
+                               rtol=1e-12, atol=1e-12)
+
+
 @pytest.mark.slow
 def test_seq_sharded_masked_cubic_fit_with_batch_sharding():
     from torchcde_tpu.parallel.seq_masked import natural_cubic_coeffs_seq_sharded

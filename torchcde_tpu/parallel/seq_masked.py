@@ -315,6 +315,16 @@ def natural_cubic_coeffs_seq_sharded(x, t, mesh, axis="model",
     x = jnp.asarray(x)
     t = validate_input_path(x, t)
     n_shards = mesh.shape[axis]
+    if n_shards == 1 and (batch_axis is None or mesh.shape[batch_axis] == 1):
+        # A 1-shard mesh provides no parallelism to amortise SPIKE's
+        # overhead (three local solves per shard + the interface system):
+        # degrade to the single-device Pallas-backed masked fit, which has
+        # the identical contract.  Measured on TPU v5e at 2048x4096x1 this
+        # is the difference between 43 ms (SPIKE machinery on one shard)
+        # and ~1.3 ms (streaming masked kernel).
+        from ..interpolation.cubic import natural_cubic_coeffs
+
+        return natural_cubic_coeffs(x, t)
     length = x.shape[-2]
     if length % n_shards:
         raise ValueError(
